@@ -1,0 +1,71 @@
+"""Volumetric fog-like rain attenuation (Weber et al. 2015 model).
+
+TPU-native equivalent of the reference's ``common/add_attenuation.py``
+(class ``FogRain``): given a clear image and per-pixel depth, apply
+extinction + Henyey-Greenstein in-scattering:
+
+    beta_ext = 0.312 * R^0.67                      (Weber 2015)
+    f_ext    = exp(-beta_ext * depth_km)
+    E        = 4 N^2 I / (t_exp * gain * pi)       (Garg-Nayar irradiance)
+    beta_hg  = (1-g^2) / (4 pi (1+g^2-2g cos a)^1.5),  g = 0.97
+    L_in     = clip(beta_hg * mean(E) * (1 - f_ext), 0, 1)
+    L        = clip(I * blur(f_ext) + blur(L_in), 0, 1)
+
+where blur is the reference's 25x25 sigma-25 Gaussian
+(``add_attenuation.py:79-80``). Everything is elementwise + one separable
+convolution — pure XLA, fuses into the surrounding frame pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from raintpu.ops.blur import cv2_gaussian_kernel, separable_blur
+
+HG_G = 0.97                     # Henyey-Greenstein asymmetry (reference :58)
+FOG_BLUR_KSIZE = 25             # reference add_attenuation.py:79
+FOG_BLUR_SIGMA = 25.0
+
+
+def beta_ext(rain_intensity) -> float:
+    """Extinction coefficient (km^-1) for fall rate R (mm/hr)."""
+    return 0.312 * float(rain_intensity) ** 0.67
+
+
+def beta_hg(angle_deg: float, g: float = HG_G) -> float:
+    """Henyey-Greenstein phase (Weber 2015 eq. 10)."""
+    cos_term = math.cos(math.radians(angle_deg))
+    return (1.0 - g ** 2) / (4.0 * math.pi *
+                             (1.0 + g ** 2 - 2.0 * g * cos_term) ** 1.5)
+
+
+def fog_rain_layer(image: jnp.ndarray,
+                   depth: jnp.ndarray,
+                   *,
+                   rain_intensity: float,
+                   f_number: float,
+                   exposure_s: float,
+                   camera_gain: float,
+                   angle_deg: float = 90.0) -> jnp.ndarray:
+    """Apply fog-like rain attenuation. image (H,W,3) [0,1]; depth (H,W) m.
+
+    Static parameters are Python floats (baked at trace time, as the
+    reference instantiates FogRain once per weather, ``generator.py:272``).
+    """
+    b_ext = beta_ext(rain_intensity)
+    f_ext = jnp.exp((-b_ext) * (depth / 1000.0))[..., None]  # (H, W, 1)
+
+    irr = (4.0 * f_number ** 2 * image) / (exposure_s * camera_gain * math.pi)
+    irr_mean = jnp.mean(irr.reshape(-1, 3), axis=0)  # (3,)
+
+    l_in = beta_hg(angle_deg) * irr_mean * (1.0 - f_ext)
+    l_in = jnp.clip(l_in, 0.0, 1.0)
+
+    kernel = cv2_gaussian_kernel(FOG_BLUR_KSIZE, FOG_BLUR_SIGMA)
+    f_ext3 = jnp.broadcast_to(f_ext, image.shape)
+    f_ext_b = separable_blur(f_ext3, kernel)
+    l_in_b = separable_blur(l_in, kernel)
+
+    return jnp.clip(image * f_ext_b + l_in_b, 0.0, 1.0)

@@ -1,0 +1,179 @@
+"""The per-frame render pipeline: one jitted function per weather config.
+
+Composition of stages (mirroring the reference frame body,
+``common/generator.py:299-469``, but fully on-device and batched over
+drops):
+
+    fog attenuation          ops.fog            (generator.py:386)
+    envmap generation        ops.envmap         (generator.py:400)
+    solid angles + xyY       ops.solid_angle / ops.color  (:407-410)
+    per-drop FOV photometry  ops.photometry     (bad_weather.py:363-413)
+    streak rasterization     ops.rasterize      (generator.py:119-174)
+    defocus                  ops.blur           (bad_weather.py:286-298)
+    compositing              ops.composite      (bad_weather.py:429-460)
+    mean-contrast adjust     here               (generator.py:461-464)
+
+Static configuration (resolution, fall rate, strategy, bucket sizes) is
+baked at trace time; per-frame data (image, depth, drop batch, RNG key)
+are traced arguments. Batch multiple frames with ``render_frames``
+(vmap) and shard over devices with :mod:`raintpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from raintpu.ops import composite as composite_ops
+from raintpu.ops import envmap as envmap_ops
+from raintpu.ops import fog as fog_ops
+from raintpu.ops import photometry as photometry_ops
+from raintpu.ops import rasterize as raster_ops
+from raintpu.particles.schema import DropBatch
+from raintpu.render.camera import RenderSettings
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static per-weather render configuration (hashable; jit static arg)."""
+
+    settings: RenderSettings
+    image_hw: Tuple[int, int]       # (H, W) at render scale
+    fallrate: float                 # mm/hr
+    raster: raster_ops.RasterConfig
+    env_downsample: int = 4
+    save_envmap: bool = False
+    compute_saturation_mask: bool = False
+
+    @property
+    def image_wh(self) -> Tuple[int, int]:
+        return (self.image_hw[1], self.image_hw[0])
+
+    @staticmethod
+    def build(settings: RenderSettings, image_hw, fallrate,
+              drop_capacity: int = 2048, **kw) -> "PipelineConfig":
+        return PipelineConfig(
+            settings=settings, image_hw=tuple(image_hw),
+            fallrate=float(fallrate),
+            raster=raster_ops.RasterConfig.default(drop_capacity), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameOutput:
+    rainy_image: jnp.ndarray            # (H, W, 3) RGB in [0, 1]
+    rain_mask: jnp.ndarray              # (H, W) accumulated alpha
+    envmap: Optional[jnp.ndarray]       # (H, W_env, 3) or None
+    overflow: jnp.ndarray               # (n_buckets,) dropped-drop counts
+
+
+def render_frame(bg: jnp.ndarray,
+                 depth: jnp.ndarray,
+                 drops: DropBatch,
+                 textures: jnp.ndarray,
+                 bin_edges: jnp.ndarray,
+                 key: jax.Array,
+                 cfg: PipelineConfig) -> FrameOutput:
+    """Render rain onto one frame.
+
+    bg: (H, W, 3) RGB float in [0, 1] (already at render scale; the
+    reference's BGR/RGB flips live at the I/O boundary).
+    depth: (H, W) metric depth (meters).
+    key: per-frame PRNG key — the determinism analogue of the
+    reference's ``np.random.seed(frame_idx)`` (generator.py:318).
+    """
+    st = cfg.settings
+    cam = st.camera
+    h, w = cfg.image_hw
+    strategy = st.rendering_strategy
+    physics = strategy is None
+
+    bg = bg.astype(jnp.float32)
+    depth = depth.astype(jnp.float32)
+
+    # --- Fog pre-pass (generator.py:386)
+    fogged = fog_ops.fog_rain_layer(
+        bg, depth,
+        rain_intensity=cfg.fallrate, f_number=cam.f_number,
+        exposure_s=cam.exposure_s, camera_gain=cam.gain)
+
+    # --- Environment map + per-drop photometry (physics strategy only)
+    env_rgb = None
+    if physics or cfg.save_envmap:
+        geom = envmap_ops.envmap_geometry(h, w, cam.focal)
+        env_rgb = envmap_ops.generate_envmap(fogged, geom)
+
+    n = drops.ip1.shape[0]
+    if physics:
+        env = photometry_ops.env_features(env_rgb, cfg.env_downsample)
+        mid = (drops.wp1 + drops.wp2) / 2.0
+        gains = photometry_ops.drop_colors(
+            mid, env, sphere_radius=st.sphere_radius,
+            fov_deg=st.drop_fov_deg, irrad_type=st.irrad_type)  # (N, 3)
+    else:
+        gains = jnp.ones((n, 3), jnp.float32)  # raw gray texture color
+
+    # --- Texture pick + wind noise
+    k_tex, k_noise = jax.random.split(key)
+    tex_idx = raster_ops.select_textures(drops, bin_edges, k_tex)
+    if st.noise_scale != 0.0 and st.noise_std != 0.0:
+        noise_deg = (jax.random.normal(k_noise, (n,), jnp.float32)
+                     * st.noise_std * st.noise_scale)
+    else:
+        noise_deg = jnp.zeros((n,), jnp.float32)
+
+    # --- Geometry + rasterization (+ defocus inside, physics only)
+    geom_d = raster_ops.drop_geometry(
+        drops, textures.shape[1:], cfg.image_wh,
+        focal_m=cam.focal_m, f_number=cam.f_number,
+        focus_plane=st.focus_plane, coc_pixsize=cfg.raster.coc_pixsize,
+        apply_defocus=physics, noise_deg=noise_deg)
+    buckets = raster_ops.rasterize_frame_drops(
+        drops, geom_d, textures, tex_idx, cfg.image_wh, cfg.raster,
+        apply_defocus=physics)
+
+    # --- Blend coefficients + composite
+    lo, add_scale = composite_ops.blend_coefficients(
+        drops.iw1, drops.iw2, drops.length,
+        exposure_s=cam.exposure_s,
+        opacity_attenuation=st.opacity_attenuation,
+        rendering_strategy=strategy)
+    add_rgb = gains * add_scale[:, None]                  # (N, 3)
+    fields = composite_ops.composite_drops(
+        cfg.image_hw, buckets, lo, add_rgb)
+
+    rainy = composite_ops.blend(fogged, fields)
+
+    # --- Mean-contrast re-adjustment (generator.py:461-464)
+    rainy = rainy - (jnp.mean(rainy) - jnp.mean(bg))
+    rainy = jnp.clip(rainy, 0.0, 1.0)
+
+    overflow = jnp.stack([b.overflow for b in buckets])
+    return FrameOutput(
+        rainy_image=rainy, rain_mask=fields.alpha,
+        envmap=env_rgb if cfg.save_envmap else None,
+        overflow=overflow)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame_jit(bg, depth, drops, textures, bin_edges, key,
+                     cfg: PipelineConfig) -> FrameOutput:
+    return render_frame(bg, depth, drops, textures, bin_edges, key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frames(bg: jnp.ndarray,
+                  depth: jnp.ndarray,
+                  drops: DropBatch,
+                  textures: jnp.ndarray,
+                  bin_edges: jnp.ndarray,
+                  keys: jax.Array,
+                  cfg: PipelineConfig) -> FrameOutput:
+    """Batched render: leading batch dim on bg/depth/drops/keys."""
+    return jax.vmap(
+        lambda b, d, dr, k: render_frame(b, d, dr, textures, bin_edges,
+                                         k, cfg))(bg, depth, drops, keys)
