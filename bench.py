@@ -1,0 +1,88 @@
+"""Headline benchmark: KITTI 1242x375 rain rendering @ 10 mm/hr.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
+
+Baseline target (BASELINE.md): >= 500 images/sec/chip on TPU v5e with
+precomputed particles. Drops are simulated on device once (outside the
+timed loop, like the reference's precomputed XML), then the batched
+render step is timed steady-state.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.data.textures import procedural_streak_database
+    from raintpu.ops.rasterize import BucketSpec, RasterConfig
+    from raintpu.physics.simulator import SimConfig, simulate_frames
+    from raintpu.render.camera import CameraSettings, RenderSettings
+    from raintpu.render.frame import PipelineConfig, render_frames
+
+    H, W = 375, 1242
+    BATCH = 8
+    CAPACITY = 512
+    FALLRATE = 10.0
+
+    settings = RenderSettings(camera=CameraSettings())  # KITTI defaults
+    raster = RasterConfig(buckets=(
+        BucketSpec(96, 64, 12, CAPACITY),
+        BucketSpec(320, 192, 32, 128),
+        BucketSpec(704, 384, 48, 32),
+    ))
+    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
+                         fallrate=FALLRATE, raster=raster)
+
+    sim_cfg = SimConfig.from_settings(settings, capacity=CAPACITY)
+    drops = simulate_frames(
+        jax.random.PRNGKey(0), sim_cfg,
+        jnp.full(BATCH, FALLRATE), jnp.full(BATCH, 8.0),
+        jnp.full(BATCH, settings.camera.exposure_s), jnp.ones(BATCH))
+    jax.block_until_ready(drops.ip1)
+    drops_per_frame = float(np.mean(np.asarray(drops.count())))
+
+    rng = np.random.RandomState(0)
+    bg = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(BATCH, H, W) * 60 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
+    db = procedural_streak_database()
+    tex = jnp.asarray(db.textures)
+    edges = jnp.asarray(db.bin_edges)
+
+    def step(keys):
+        out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
+        return out.rainy_image, out.rain_mask
+
+    step_jit = jax.jit(step)
+
+    # Warmup/compile.
+    r, m = step_jit(keys)
+    jax.block_until_ready(r)
+
+    iters = 6
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r, m = step_jit(keys)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * iters / dt
+    print(json.dumps({
+        "metric": "KITTI 1242x375 render throughput @10mm/hr "
+                  f"(batch={BATCH}, ~{drops_per_frame:.0f} drops/frame, "
+                  f"drops/s={imgs_per_sec * drops_per_frame:.0f}, "
+                  f"backend={jax.default_backend()})",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_sec / 500.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

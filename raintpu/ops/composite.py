@@ -46,6 +46,7 @@ TAU_ZERO = math.sqrt(DROP_SIZE) / 50.0
 LOG_EPS = 1e-6
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FieldMaps:
     """Accumulated drop fields over the image."""
@@ -91,15 +92,21 @@ def _scatter_bucket(fields: FieldMaps,
                     bucket: RasterBucket,
                     lo: jnp.ndarray,
                     add_rgb: jnp.ndarray,
-                    chunk: int = 256) -> FieldMaps:
+                    chunk: int = 0) -> FieldMaps:
     """Scatter one bucket's patches into padded field maps.
 
     fields maps are padded to (H + PH, W + PW) by the caller so anchors
     (clipped to [0, W] x [0, H]) can never go out of bounds.
     lo: (C,) attenuation slope; add_rgb: (C, 3) additive gain per drop.
+
+    Drops scatter in chunks sized so the transient (chunk, PH, PW, 3)
+    value/index buffers stay ~8 M elements regardless of bucket patch
+    size (a fixed chunk count OOMs for the big-streak buckets).
     """
     c, ph, pw = bucket.patches.shape
     hp, wp = fields.alpha.shape
+    if chunk <= 0:
+        chunk = max(8, min(c, 8_388_608 // (ph * pw)))
 
     ii = jnp.arange(ph, dtype=jnp.int32)
     jj = jnp.arange(pw, dtype=jnp.int32)

@@ -76,8 +76,19 @@ class RasterBucket:
     overflow: jnp.ndarray  # scalar int32 — drops that did not fit capacity
 
 
+def per_drop_keys(key: jax.Array, n: int, offset) -> jax.Array:
+    """Fold a global per-drop index into the frame key.
+
+    Keying randomness by *global* drop index (offset = shard start when
+    drops are sharded over a mesh 'sp' axis) makes texture/noise draws
+    invariant to how drops are partitioned across devices.
+    """
+    idx = offset + jnp.arange(n, dtype=jnp.int32)
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+
+
 def select_textures(drops: DropBatch, bin_edges: jnp.ndarray,
-                    key: jax.Array) -> jnp.ndarray:
+                    key: jax.Array, offset=0) -> jnp.ndarray:
     """Ratio-binned random texture pick (reference take_drop_texture).
 
     bin = number of edges <= ratio; texture = 10*bin + uniform[0, 10).
@@ -85,7 +96,9 @@ def select_textures(drops: DropBatch, bin_edges: jnp.ndarray,
     n = drops.ratio.shape[0]
     bins = jnp.sum(drops.ratio[:, None] >= bin_edges[None, :],
                    axis=-1).astype(jnp.int32)
-    offs = jax.random.randint(key, (n,), 0, 10, dtype=jnp.int32)
+    keys = per_drop_keys(key, n, offset)
+    offs = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, 10, dtype=jnp.int32))(keys)
     return bins * 10 + offs
 
 
@@ -307,7 +320,10 @@ def _compact(mask: jnp.ndarray, capacity: int):
     """First `capacity` true indices of mask (sorted), + validity."""
     n = mask.shape[0]
     idx = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
-    idx = jnp.sort(idx)[:capacity]
+    idx = jnp.sort(idx)
+    if capacity > n:
+        idx = jnp.pad(idx, (0, capacity - n), constant_values=n)
+    idx = idx[:capacity]
     sel_valid = idx < n
     overflow = jnp.sum(mask.astype(jnp.int32)) - jnp.sum(
         sel_valid.astype(jnp.int32))
@@ -365,33 +381,36 @@ def rasterize_frame_drops(drops: DropBatch,
         s = cfg.supersample
         ii = jnp.arange(b.ph, dtype=jnp.float32)
         jj = jnp.arange(b.pw, dtype=jnp.float32)
-        sub = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s - 0.5
 
-        # Local content coords for every (patch px, subsample) pair.
-        py = (ii[:, None] + sub[None, :]).reshape(-1)   # (PH*s,)
-        px = (jj[:, None] + sub[None, :]).reshape(-1)   # (PW*s,)
-        ly = py[None, :, None] - offy[:, None, None]    # (C, PH*s, 1)
-        lx = px[None, None, :] - offx[:, None, None]    # (C, 1, PW*s)
-        ly = jnp.broadcast_to(ly, (b.capacity, b.ph * s, b.pw * s))
-        lx = jnp.broadcast_to(lx, (b.capacity, b.ph * s, b.pw * s))
+        # Accumulate the s x s subsamples at (PH, PW) resolution instead
+        # of materializing a (PH*s, PW*s) intermediate (which would be
+        # s^2 the memory — OOM at production batch sizes).
+        g = jnp.zeros((b.capacity, b.ph, b.pw), jnp.float32)
+        for sy in range(s):
+            for sx in range(s):
+                py = ii + (sy + 0.5) / s - 0.5          # (PH,)
+                px = jj + (sx + 0.5) / s - 0.5          # (PW,)
+                ly = py[None, :, None] - offy[:, None, None]  # (C, PH, 1)
+                lx = px[None, None, :] - offx[:, None, None]  # (C, 1, PW)
 
-        inside = ((lx > -0.5) & (lx < wh_c[:, 0, None, None] - 0.5)
-                  & (ly > -0.5) & (ly < wh_c[:, 1, None, None] - 0.5))
+                inside = ((lx > -0.5) & (lx < wh_c[:, 0, None, None] - 0.5)
+                          & (ly > -0.5) & (ly < wh_c[:, 1, None, None] - 0.5))
 
-        hx = (m_sel[:, 0, 0, None, None] * lx
-              + m_sel[:, 0, 1, None, None] * ly + m_sel[:, 0, 2, None, None])
-        hy = (m_sel[:, 1, 0, None, None] * lx
-              + m_sel[:, 1, 1, None, None] * ly + m_sel[:, 1, 2, None, None])
-        hz = (m_sel[:, 2, 0, None, None] * lx
-              + m_sel[:, 2, 1, None, None] * ly + m_sel[:, 2, 2, None, None])
-        hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
-        g = _sample_texture(textures, t_sel, hx / hz, hy / hz)
-        g = jnp.where(inside, g, 0.0)
-
-        # Average the s x s subsamples -> (C, PH, PW), then clip [0, 1]
-        # (reference clips after warp, generator.py:132,170).
-        g = g.reshape(b.capacity, b.ph, s, b.pw, s).mean(axis=(2, 4))
-        g = jnp.clip(g, 0.0, 1.0)
+                hx = (m_sel[:, 0, 0, None, None] * lx
+                      + m_sel[:, 0, 1, None, None] * ly
+                      + m_sel[:, 0, 2, None, None])
+                hy = (m_sel[:, 1, 0, None, None] * lx
+                      + m_sel[:, 1, 1, None, None] * ly
+                      + m_sel[:, 1, 2, None, None])
+                hz = (m_sel[:, 2, 0, None, None] * lx
+                      + m_sel[:, 2, 1, None, None] * ly
+                      + m_sel[:, 2, 2, None, None])
+                hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
+                sample = _sample_texture(textures, t_sel, hx / hz, hy / hz)
+                g = g + jnp.where(inside, sample, 0.0)
+        # Mean over subsamples, clip [0, 1] (reference clips after warp,
+        # generator.py:132,170).
+        g = jnp.clip(g / (s * s), 0.0, 1.0)
 
         if apply_defocus:
             g = variable_separable_blur(g, sigma, sigma / 2.0, b.radius)

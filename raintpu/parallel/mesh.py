@@ -1,0 +1,136 @@
+"""Device-mesh scaling: data-parallel frames x drop-parallel compositing.
+
+The reference scales by farming ``main.py`` subprocesses over CPU cores
+with filesystem coordination (``main_threaded.py``; SURVEY.md §2
+parallelism table). The TPU-native equivalent is SPMD over a
+``jax.sharding.Mesh`` with two axes:
+
+- ``dp`` (data parallel): frames are independent — the batch dim shards
+  with no communication at all.
+- ``sp`` (streak parallel): within a frame, the drop population shards
+  across devices; each device rasterizes + accumulates its drop subset
+  into local field maps, and one ``psum`` over ``sp`` reduces them
+  (the compositing algebra in ops/composite is an order-independent sum
+  by construction, which is what makes this a single collective).
+  The per-drop FOV photometry matmuls shard the same way.
+
+Multi-host: build the mesh over ``jax.devices()`` spanning hosts and
+feed per-host shards (``jax.make_array_from_process_local_data``);
+collectives ride ICI within a pod slice. There is no cross-frame state,
+so elasticity / fault tolerance reduces to the same idempotent
+file-keyed work units the reference uses (kept in render/pipeline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raintpu.particles.schema import DropBatch
+from raintpu.render import frame as frame_mod
+from raintpu.render.frame import FrameOutput, PipelineConfig
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              sp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices.
+
+    sp divides the device count; dp = n_devices // sp.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % sp == 0, f"sp={sp} must divide device count {n}"
+    dp = n // sp
+    dev_array = np.asarray(devices).reshape(dp, sp)
+    return Mesh(dev_array, axis_names=("dp", "sp"))
+
+
+_sharded_cache = {}
+
+
+def render_frames_sharded(mesh: Mesh,
+                          bg: jnp.ndarray,
+                          depth: jnp.ndarray,
+                          drops: DropBatch,
+                          textures: jnp.ndarray,
+                          bin_edges: jnp.ndarray,
+                          keys: jax.Array,
+                          cfg: PipelineConfig) -> FrameOutput:
+    """Batched render sharded (frames over dp) x (drops over sp).
+
+    bg/depth/keys: leading batch dim B (divisible by mesh dp size);
+    drops: DropBatch with dims (B, N, ...), N divisible by sp size.
+
+    Per-device work: B/dp frames x N/sp drops. Communication: one psum
+    of the field maps over sp (zero when sp == 1). The compiled sharded
+    step is cached per (mesh, cfg) so repeated calls don't re-trace.
+    """
+    cache_key = (tuple(mesh.devices.flat), mesh.devices.shape,
+                 mesh.axis_names, cfg)
+    fn = _sharded_cache.get(cache_key)
+    if fn is None:
+        fn = _build_sharded(mesh, cfg)
+        _sharded_cache[cache_key] = fn
+    return fn(bg, depth, drops, textures, bin_edges, keys)
+
+
+def _build_sharded(mesh: Mesh, cfg: PipelineConfig):
+    data_spec = P("dp")
+    drop_spec = jax.tree.map(lambda _: P("dp", "sp"),
+                             DropBatch(*([0] * 11)))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(data_spec, data_spec, drop_spec, P(), P(), data_spec),
+             out_specs=jax.tree.map(lambda _: P("dp"), _out_treedef(cfg)),
+             check_vma=False)
+    def _run(bg_l, depth_l, drops_l, tex, edges, keys_l):
+        sp_idx = jax.lax.axis_index("sp")
+        n_local = drops_l.ip1.shape[1]
+
+        def one(b, d, dr, k):
+            fogged, env_rgb = frame_mod.frame_background(b, d, cfg)
+            # Per-drop RNG keyed by global drop index -> results are
+            # bit-identical for any sp layout.
+            fields, overflow = frame_mod.drop_fields(
+                env_rgb, dr, tex, edges, k, cfg,
+                drop_offset=sp_idx * n_local)
+            fields = jax.tree.map(
+                lambda x: jax.lax.psum(x, "sp"), fields)
+            overflow = jax.lax.psum(overflow, "sp")
+            return frame_mod.finalize_frame(b, fogged, fields, env_rgb,
+                                            overflow, cfg)
+
+        return jax.vmap(one)(bg_l, depth_l, drops_l, keys_l)
+
+    return jax.jit(_run)
+
+
+def _out_treedef(cfg: PipelineConfig) -> FrameOutput:
+    """Structure-only FrameOutput for out_specs tree mapping."""
+    env = 0 if cfg.save_envmap else None
+    return FrameOutput(rainy_image=0, rain_mask=0, envmap=env, overflow=0)
+
+
+def split_drops_for_sp(drops: DropBatch, sp: int) -> DropBatch:
+    """Reshape a (B, N, ...) DropBatch so N shards evenly over sp.
+
+    Pads N up to a multiple of sp (padded rows invalid)."""
+    n = drops.ip1.shape[1]
+    pad = (-n) % sp
+
+    def padn(a):
+        if pad == 0:
+            return a
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, widths)
+
+    return jax.tree.map(padn, drops)

@@ -71,6 +71,100 @@ class FrameOutput:
     overflow: jnp.ndarray               # (n_buckets,) dropped-drop counts
 
 
+def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
+                     cfg: PipelineConfig):
+    """Per-frame drop-independent stage: fog + envmap.
+
+    Returns (fogged, env_rgb) — env_rgb is None unless needed.
+    """
+    st = cfg.settings
+    cam = st.camera
+    h, w = cfg.image_hw
+    physics = st.rendering_strategy is None
+
+    fogged = fog_ops.fog_rain_layer(
+        bg.astype(jnp.float32), depth.astype(jnp.float32),
+        rain_intensity=cfg.fallrate, f_number=cam.f_number,
+        exposure_s=cam.exposure_s, camera_gain=cam.gain)
+
+    env_rgb = None
+    if physics or cfg.save_envmap:
+        geom = envmap_ops.envmap_geometry(h, w, cam.focal)
+        env_rgb = envmap_ops.generate_envmap(fogged, geom)
+    return fogged, env_rgb
+
+
+def drop_fields(env_rgb, drops: DropBatch, textures: jnp.ndarray,
+                bin_edges: jnp.ndarray, key: jax.Array,
+                cfg: PipelineConfig, drop_offset=0):
+    """Per-drop stage: photometry + rasterization + field accumulation.
+
+    Pure in the drop batch — a subset of drops yields that subset's
+    field contribution, so this stage shards over drops with a psum
+    (see raintpu.parallel). ``drop_offset`` is the global index of the
+    first drop in this shard: all per-drop randomness is keyed by
+    (frame key, global drop index), so the result is bit-invariant to
+    the sharding layout. Returns (FieldMaps, overflow).
+    """
+    st = cfg.settings
+    cam = st.camera
+    strategy = st.rendering_strategy
+    physics = strategy is None
+    n = drops.ip1.shape[0]
+
+    if physics:
+        env = photometry_ops.env_features(env_rgb, cfg.env_downsample)
+        mid = (drops.wp1 + drops.wp2) / 2.0
+        gains = photometry_ops.drop_colors(
+            mid, env, sphere_radius=st.sphere_radius,
+            fov_deg=st.drop_fov_deg, irrad_type=st.irrad_type)  # (N, 3)
+    else:
+        gains = jnp.ones((n, 3), jnp.float32)  # raw gray texture color
+
+    k_tex, k_noise = jax.random.split(key)
+    tex_idx = raster_ops.select_textures(drops, bin_edges, k_tex,
+                                         offset=drop_offset)
+    if st.noise_scale != 0.0 and st.noise_std != 0.0:
+        nkeys = raster_ops.per_drop_keys(k_noise, n, drop_offset)
+        noise_deg = (jax.vmap(lambda k: jax.random.normal(k, ()))(nkeys)
+                     * st.noise_std * st.noise_scale)
+    else:
+        noise_deg = jnp.zeros((n,), jnp.float32)
+
+    geom_d = raster_ops.drop_geometry(
+        drops, textures.shape[1:], cfg.image_wh,
+        focal_m=cam.focal_m, f_number=cam.f_number,
+        focus_plane=st.focus_plane, coc_pixsize=cfg.raster.coc_pixsize,
+        apply_defocus=physics, noise_deg=noise_deg)
+    buckets = raster_ops.rasterize_frame_drops(
+        drops, geom_d, textures, tex_idx, cfg.image_wh, cfg.raster,
+        apply_defocus=physics)
+
+    lo, add_scale = composite_ops.blend_coefficients(
+        drops.iw1, drops.iw2, drops.length,
+        exposure_s=cam.exposure_s,
+        opacity_attenuation=st.opacity_attenuation,
+        rendering_strategy=strategy)
+    add_rgb = gains * add_scale[:, None]                  # (N, 3)
+    fields = composite_ops.composite_drops(
+        cfg.image_hw, buckets, lo, add_rgb)
+    overflow = jnp.stack([b.overflow for b in buckets])
+    return fields, overflow
+
+
+def finalize_frame(bg, fogged, fields, env_rgb, overflow,
+                   cfg: PipelineConfig) -> FrameOutput:
+    """Blend fields over the fogged background + contrast adjust
+    (generator.py:461-464)."""
+    rainy = composite_ops.blend(fogged, fields)
+    rainy = rainy - (jnp.mean(rainy) - jnp.mean(bg.astype(jnp.float32)))
+    rainy = jnp.clip(rainy, 0.0, 1.0)
+    return FrameOutput(
+        rainy_image=rainy, rain_mask=fields.alpha,
+        envmap=env_rgb if cfg.save_envmap else None,
+        overflow=overflow)
+
+
 def render_frame(bg: jnp.ndarray,
                  depth: jnp.ndarray,
                  drops: DropBatch,
@@ -86,77 +180,10 @@ def render_frame(bg: jnp.ndarray,
     key: per-frame PRNG key — the determinism analogue of the
     reference's ``np.random.seed(frame_idx)`` (generator.py:318).
     """
-    st = cfg.settings
-    cam = st.camera
-    h, w = cfg.image_hw
-    strategy = st.rendering_strategy
-    physics = strategy is None
-
-    bg = bg.astype(jnp.float32)
-    depth = depth.astype(jnp.float32)
-
-    # --- Fog pre-pass (generator.py:386)
-    fogged = fog_ops.fog_rain_layer(
-        bg, depth,
-        rain_intensity=cfg.fallrate, f_number=cam.f_number,
-        exposure_s=cam.exposure_s, camera_gain=cam.gain)
-
-    # --- Environment map + per-drop photometry (physics strategy only)
-    env_rgb = None
-    if physics or cfg.save_envmap:
-        geom = envmap_ops.envmap_geometry(h, w, cam.focal)
-        env_rgb = envmap_ops.generate_envmap(fogged, geom)
-
-    n = drops.ip1.shape[0]
-    if physics:
-        env = photometry_ops.env_features(env_rgb, cfg.env_downsample)
-        mid = (drops.wp1 + drops.wp2) / 2.0
-        gains = photometry_ops.drop_colors(
-            mid, env, sphere_radius=st.sphere_radius,
-            fov_deg=st.drop_fov_deg, irrad_type=st.irrad_type)  # (N, 3)
-    else:
-        gains = jnp.ones((n, 3), jnp.float32)  # raw gray texture color
-
-    # --- Texture pick + wind noise
-    k_tex, k_noise = jax.random.split(key)
-    tex_idx = raster_ops.select_textures(drops, bin_edges, k_tex)
-    if st.noise_scale != 0.0 and st.noise_std != 0.0:
-        noise_deg = (jax.random.normal(k_noise, (n,), jnp.float32)
-                     * st.noise_std * st.noise_scale)
-    else:
-        noise_deg = jnp.zeros((n,), jnp.float32)
-
-    # --- Geometry + rasterization (+ defocus inside, physics only)
-    geom_d = raster_ops.drop_geometry(
-        drops, textures.shape[1:], cfg.image_wh,
-        focal_m=cam.focal_m, f_number=cam.f_number,
-        focus_plane=st.focus_plane, coc_pixsize=cfg.raster.coc_pixsize,
-        apply_defocus=physics, noise_deg=noise_deg)
-    buckets = raster_ops.rasterize_frame_drops(
-        drops, geom_d, textures, tex_idx, cfg.image_wh, cfg.raster,
-        apply_defocus=physics)
-
-    # --- Blend coefficients + composite
-    lo, add_scale = composite_ops.blend_coefficients(
-        drops.iw1, drops.iw2, drops.length,
-        exposure_s=cam.exposure_s,
-        opacity_attenuation=st.opacity_attenuation,
-        rendering_strategy=strategy)
-    add_rgb = gains * add_scale[:, None]                  # (N, 3)
-    fields = composite_ops.composite_drops(
-        cfg.image_hw, buckets, lo, add_rgb)
-
-    rainy = composite_ops.blend(fogged, fields)
-
-    # --- Mean-contrast re-adjustment (generator.py:461-464)
-    rainy = rainy - (jnp.mean(rainy) - jnp.mean(bg))
-    rainy = jnp.clip(rainy, 0.0, 1.0)
-
-    overflow = jnp.stack([b.overflow for b in buckets])
-    return FrameOutput(
-        rainy_image=rainy, rain_mask=fields.alpha,
-        envmap=env_rgb if cfg.save_envmap else None,
-        overflow=overflow)
+    fogged, env_rgb = frame_background(bg, depth, cfg)
+    fields, overflow = drop_fields(env_rgb, drops, textures, bin_edges,
+                                   key, cfg)
+    return finalize_frame(bg, fogged, fields, env_rgb, overflow, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -1,0 +1,352 @@
+"""Sequence/weather/frame orchestration — the host-side render driver.
+
+Replaces the reference ``Generator`` loop nest (``common/generator.py``)
+and the ``main_threaded.py`` process farm: frames are batched, I/O is
+prefetched on threads, and the whole batch renders in one device step
+(optionally sharded over a mesh — :mod:`raintpu.parallel`).
+
+Load-bearing behaviors kept from the reference:
+- conflict strategies ``overwrite|skip|rename_folder`` at folder and
+  frame granularity (``generator.py:85-104,213-226,328-336``) — the
+  file-keyed idempotency that doubles as crash-resume;
+- per-frame determinism: RNG keyed by frame index, independent of
+  ``--frame_start`` (``generator.py:303,317-318``);
+- output layout ``OUT/DATASET[_strategy]/SEQ/rain/{N}mm/{rainy_image,
+  rain_mask}/NAME.png`` + sequence-level ``envmap/``;
+- ``rain_mask`` saved like ``plt.imsave`` (normalized colormap PNG,
+  ``generator.py:467``) plus a lossless 16-bit grayscale companion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from raintpu.data import io as data_io
+from raintpu.data.textures import StreakDatabase, get_streak_database
+from raintpu.particles import xml_io
+from raintpu.particles.schema import pack_drop_batch
+from raintpu.render.camera import RenderSettings, settings_from_dict
+from raintpu.render.frame import PipelineConfig, render_frames
+from raintpu.utils.logging import (ProgressScope, natural_listdir,
+                                   print_warning)
+
+
+@dataclasses.dataclass
+class JobSpec:
+    """One rendering job (the reference's parsed-args surface)."""
+
+    dataset: str
+    sequences: Sequence[str]
+    images: Dict[str, object]       # seq -> dir or file list
+    depth: Dict[str, object]
+    calib: Dict[str, object]
+    particles: Dict[str, List[str]]  # seq -> XML path per weather
+    weather: List[dict]              # [{"weather": "rain", "fallrate": i}]
+    settings: dict                   # reference-style settings dict
+    output_root: str
+    streaks_db: Optional[str] = None
+    norm_coeff: Optional[str] = None
+    conflict_strategy: Optional[str] = None
+    rendering_strategy: Optional[str] = None
+    save_envmap: bool = False
+    frame_start: int = 0
+    frame_end: Optional[int] = None
+    frame_step: int = 1
+    frames: Optional[List[int]] = None
+    noise_scale: float = 0.0
+    noise_std: float = 0.0
+    opacity_attenuation: float = 1.0
+    verbose: bool = True
+    batch_size: int = 4
+    drop_capacity: int = 2048
+    seed: int = 0
+    raster_profile: str = "default"   # default | tiny (tests/smoke)
+
+
+class RenderJob:
+    def __init__(self, spec: JobSpec):
+        self.spec = spec
+        self.db: Optional[StreakDatabase] = None
+        self._resolve_conflict_strategy()
+
+    # -- conflict handling ------------------------------------------------
+    def _existing_output_dirs(self) -> List[str]:
+        s = self.spec
+        out = []
+        for seq in s.sequences:
+            for w in s.weather:
+                d = os.path.join(self._output_root(), seq, w["weather"],
+                                 f'{w["fallrate"]}mm')
+                if os.path.exists(d):
+                    out.append(d)
+        return out
+
+    def _resolve_conflict_strategy(self) -> None:
+        s = self.spec
+        existing = self._existing_output_dirs()
+        if existing and s.conflict_strategy is None:
+            print("\nOutput folders already exist:\n  " +
+                  "\n  ".join(existing))
+            if sys.stdin.isatty():
+                while s.conflict_strategy not in ("overwrite", "skip",
+                                                  "rename_folder"):
+                    s.conflict_strategy = input(
+                        "Strategy (overwrite|skip|rename_folder): ").strip()
+            else:
+                print_warning("Non-interactive session: using 'skip'.")
+                s.conflict_strategy = "skip"
+        if s.conflict_strategy not in (None, "overwrite", "skip",
+                                       "rename_folder"):
+            raise ValueError(
+                f"Unknown conflict strategy {s.conflict_strategy!r}")
+
+    def _output_root(self) -> str:
+        s = self.spec
+        name = s.dataset if s.rendering_strategy is None else \
+            f"{s.dataset}_{s.rendering_strategy}"
+        return os.path.join(s.output_root, name)
+
+    # -- inputs -----------------------------------------------------------
+    def _frame_files(self, seq: str):
+        s = self.spec
+        images = s.images[seq]
+        if isinstance(images, (list, tuple, np.ndarray)):
+            files = list(images)
+        else:
+            files = [os.path.join(images, f)
+                     for f in natural_listdir(images)]
+        depths = s.depth[seq]
+        if isinstance(depths, (list, tuple, np.ndarray)):
+            dfiles = list(depths)
+        else:
+            dfiles = [os.path.join(depths, f)
+                      for f in natural_listdir(depths)]
+        return files, dfiles
+
+    def _frame_indices(self, n_files: int) -> List[int]:
+        s = self.spec
+        f_end = n_files if s.frame_end is None else min(s.frame_end, n_files)
+        if s.frames:
+            return np.unique(np.clip(s.frames, 0, f_end - 1)).tolist()
+        return list(range(s.frame_start, f_end, s.frame_step))
+
+    def _render_settings(self, fallrate) -> RenderSettings:
+        s = self.spec
+        rs = settings_from_dict(s.settings)
+        return dataclasses.replace(
+            rs, noise_scale=s.noise_scale, noise_std=s.noise_std,
+            opacity_attenuation=s.opacity_attenuation,
+            rendering_strategy=s.rendering_strategy)
+
+    # -- output -----------------------------------------------------------
+    @staticmethod
+    def _save_rainy(path: str, rainy: np.ndarray) -> None:
+        from PIL import Image
+
+        arr = (np.clip(rainy, 0, 1) * 255).round().astype(np.uint8)
+        Image.fromarray(arr).save(path)
+
+    @staticmethod
+    def _save_mask(path: str, mask: np.ndarray) -> None:
+        # Colormapped normalized PNG, like plt.imsave of a 2-D array
+        # (generator.py:467) ...
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.imsave(path, mask)
+        # ... plus a lossless 16-bit grayscale companion for metrics.
+        from PIL import Image
+
+        raw = np.clip(mask / max(float(mask.max()), 1e-9), 0, 1)
+        Image.fromarray((raw * 65535).astype(np.uint16)).save(
+            path.replace(".png", "_raw.png"))
+
+    # -- main loop --------------------------------------------------------
+    def run(self) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        s = self.spec
+        stats = {"rendered": 0, "skipped": 0, "failed": 0}
+        self.db = get_streak_database(s.streaks_db, s.norm_coeff,
+                                      seed=s.seed)
+        textures = jnp.asarray(self.db.textures)
+        edges = jnp.asarray(self.db.bin_edges)
+
+        prog = ProgressScope(["sequence", "weather", "frame"])
+        prog.start("sequence", len(s.sequences))
+
+        for seq_i, seq in enumerate(s.sequences):
+            prog.update("sequence", seq_i)
+            prog.start("weather", len(s.weather))
+            files, dfiles = self._frame_files(seq)
+
+            for w_i, weather in enumerate(s.weather):
+                prog.update("weather", w_i)
+                fallrate = weather["fallrate"]
+                out_seq = os.path.join(self._output_root(), seq)
+                out_dir = os.path.join(out_seq, weather["weather"],
+                                       f"{fallrate}mm")
+                if os.path.exists(out_dir) and \
+                        s.conflict_strategy == "rename_folder":
+                    i = 0
+                    while os.path.exists(out_dir + "_copy%05d" % i):
+                        i += 1
+                    out_dir = out_dir + "_copy%05d" % i
+                os.makedirs(out_dir, exist_ok=True)
+
+                first = data_io.load_frame(
+                    files[0], dfiles[0],
+                    int(s.settings["render_scale"]),
+                    int(s.settings["depth_scale"]))
+                if first is None:
+                    print_warning(f"Sequence {seq}: first depth missing")
+                    continue
+                hw = first[0].shape[:2]
+                # Prepare this weather's drop source (XML by default;
+                # overridden by the online simulator job).
+                self._setup_drop_source(seq, w_i, weather, hw)
+
+                rsettings = self._render_settings(fallrate)
+                if s.raster_profile == "tiny":
+                    from raintpu.ops.rasterize import (BucketSpec,
+                                                      RasterConfig)
+                    raster = RasterConfig(
+                        buckets=(BucketSpec(32, 24, 4, s.drop_capacity),
+                                 BucketSpec(64, 48, 8, 16)),
+                        supersample=1)
+                    cfg = PipelineConfig(
+                        settings=rsettings, image_hw=tuple(hw),
+                        fallrate=float(fallrate), raster=raster,
+                        env_downsample=8, save_envmap=s.save_envmap)
+                else:
+                    cfg = PipelineConfig.build(
+                        rsettings, hw, fallrate,
+                        drop_capacity=s.drop_capacity,
+                        save_envmap=s.save_envmap)
+
+                idx = self._frame_indices(len(files))
+                prog.start("frame", len(idx))
+
+                # Pending (frame index, name) after existence filtering.
+                work = []
+                for i in idx:
+                    name = os.path.splitext(
+                        os.path.basename(files[i]))[0]
+                    out_img = os.path.join(out_dir, "rainy_image",
+                                           name + ".png")
+                    out_mask = os.path.join(out_dir, "rain_mask",
+                                            name + ".png")
+                    if (os.path.exists(out_img)
+                            or os.path.exists(out_mask)):
+                        if s.conflict_strategy == "skip":
+                            stats["skipped"] += 1
+                            continue
+                        if s.conflict_strategy != "overwrite":
+                            raise FileExistsError(out_img)
+                    work.append((i, name, out_img, out_mask))
+
+                os.makedirs(os.path.join(out_dir, "rainy_image"),
+                            exist_ok=True)
+                os.makedirs(os.path.join(out_dir, "rain_mask"),
+                            exist_ok=True)
+                if s.save_envmap:
+                    os.makedirs(os.path.join(out_seq, "envmap"),
+                                exist_ok=True)
+
+                def load_one(item):
+                    i, name, oi, om = item
+                    pair = data_io.load_frame(
+                        files[i], dfiles[i],
+                        int(s.settings["render_scale"]),
+                        int(s.settings["depth_scale"]))
+                    return (i, name, oi, om, pair)
+
+                B = s.batch_size
+                batch: List = []
+                done = 0
+                for item in data_io.prefetch_map(load_one, work):
+                    if item[4] is None:
+                        stats["failed"] += 1
+                        continue
+                    batch.append(item)
+                    if len(batch) == B:
+                        self._render_batch(batch, textures, edges, cfg,
+                                           out_seq, stats)
+                        done += len(batch)
+                        prog.update("frame", max(done - 1, 0))
+                        if s.verbose:
+                            sys.stdout.write("\r" + prog.line() + "   ")
+                        batch = []
+                if batch:
+                    self._render_batch(batch, textures, edges, cfg,
+                                       out_seq, stats)
+                if s.verbose:
+                    sys.stdout.write("\r" + prog.line() + "\n")
+
+        return stats
+
+    # -- drop sources -----------------------------------------------------
+    def _setup_drop_source(self, seq, w_i, weather, hw) -> None:
+        """Default: load the weather's particle XML (precomputed mode)."""
+        s = self.spec
+        self._streaks = xml_io.load_streaks(
+            s.particles[seq][w_i], image_wh=(hw[1], hw[0]),
+            render_scale=s.settings["render_scale"], dataset=s.dataset)
+        self._frame_ids = sorted(self._streaks)
+
+    def _drops_for_frame(self, frame_idx: int):
+        """DropBatch for one frame index (reference generator.py:321:
+        frame index modulo the number of simulated frames)."""
+        s = self.spec
+        fid = self._frame_ids[frame_idx % len(self._frame_ids)] \
+            if self._frame_ids else None
+        rec = self._streaks.get(fid) if fid is not None else None
+        if rec is None:
+            from raintpu.particles.schema import empty_drop_batch
+            return empty_drop_batch(s.drop_capacity)
+        return pack_drop_batch(rec, s.drop_capacity)
+
+    def _render_batch(self, batch, textures, edges, cfg, out_seq,
+                      stats) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        s = self.spec
+        n_real = len(batch)
+        bgs, depths, drops_l, keys = [], [], [], []
+        for (i, name, oi, om, (bg, depth)) in batch:
+            drops_l.append(self._drops_for_frame(i))
+            bgs.append(bg)
+            depths.append(depth)
+            keys.append(jax.random.PRNGKey(s.seed * 100003 + i))
+        # Pad a short final batch to the compiled batch size.
+        while len(bgs) < s.batch_size:
+            bgs.append(bgs[-1])
+            depths.append(depths[-1])
+            drops_l.append(drops_l[-1])
+            keys.append(keys[-1])
+
+        drops = jax.tree.map(lambda *xs: jnp.stack(xs), *drops_l)
+        out = render_frames(jnp.asarray(np.stack(bgs)),
+                            jnp.asarray(np.stack(depths)),
+                            drops, textures, edges,
+                            jnp.stack(keys), cfg)
+        rainy = np.asarray(out.rainy_image)
+        masks = np.asarray(out.rain_mask)
+        envs = np.asarray(out.envmap) if cfg.save_envmap else None
+
+        for bi, (i, name, oi, om, _pair) in enumerate(batch[:n_real]):
+            self._save_rainy(oi, rainy[bi])
+            self._save_mask(om, masks[bi])
+            if envs is not None:
+                self._save_rainy(os.path.join(out_seq, "envmap",
+                                              name + ".png"), envs[bi])
+            stats["rendered"] += 1

@@ -1,0 +1,162 @@
+"""End-to-end pipeline tests: tiny on-disk dataset -> rendered outputs.
+
+Mirrors the reference's de-facto regression strategy (SURVEY.md §4):
+render a tiny fixture twice and diff, plus conflict-strategy and
+determinism checks.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from raintpu.render.pipeline import JobSpec, RenderJob
+
+
+H, W = 48, 96
+
+
+def make_dataset(root, n_frames=3):
+    """customdb-style layout: SEQ/rgb + SEQ/depth (16-bit PNG m*256)."""
+    rng = np.random.RandomState(1)
+    rgb_dir = os.path.join(root, "source", "toy", "seqA", "rgb")
+    dep_dir = os.path.join(root, "source", "toy", "seqA", "depth")
+    os.makedirs(rgb_dir)
+    os.makedirs(dep_dir)
+    for i in range(n_frames):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(rgb_dir, f"{i:06d}.png"))
+        dep = ((rng.rand(H, W) * 60 + 3) * 256).astype(np.uint16)
+        Image.fromarray(dep).save(os.path.join(dep_dir, f"{i:06d}.png"))
+    return os.path.join(root, "source", "toy")
+
+
+def make_particles(root, image_wh, fallrate=25):
+    """Simulate + export XML with the reference layout."""
+    from raintpu.tools.particles_simulation import simulate_to_xml
+
+    options = {
+        "cam_WH": list(image_wh), "cam_CCD_WH": list(image_wh),
+        "cam_CCD_pixsize": 20.0, "cam_focal": 8, "cam_hz": 10,
+        "cam_exposure": 2, "sim_mode": "normal", "sim_duration": 0.5,
+    }
+    out_dir = os.path.join(root, "particles", "toy", "seqA", "rain",
+                           f"{fallrate}mm")
+    return simulate_to_xml(out_dir, options,
+                           {"weather": "rain", "fallrate": fallrate},
+                           capacity=128)
+
+
+def make_spec(tmp, xml, **kw):
+    settings = {
+        "cam_hz": 10, "cam_CCD_WH": [W, H], "cam_CCD_pixsize": 20.0,
+        "cam_WH": [W, H], "cam_focal": 8, "cam_gain": 20,
+        "cam_f_number": 6.0, "cam_focus_plane": 6.0, "cam_exposure": 2,
+        "cam_pos": [1.5, 1.5, 0.3], "cam_lookat": [1.5, 1.5, -1.0],
+        "cam_up": [0.0, 1.0, 0.0], "depth_scale": 1, "render_scale": 1,
+        "sim_mode": "normal", "sim_duration": 0.5, "sim_steps": {},
+        "sim_hz": 2000, "sequences": {},
+    }
+    base = dict(
+        dataset="toy", sequences=["seqA"],
+        images={"seqA": os.path.join(tmp, "source", "toy", "seqA", "rgb")},
+        depth={"seqA": os.path.join(tmp, "source", "toy", "seqA", "depth")},
+        calib={"seqA": None},
+        particles={"seqA": [xml]},
+        weather=[{"weather": "rain", "fallrate": 25}],
+        settings=settings,
+        output_root=os.path.join(tmp, "output"),
+        conflict_strategy="overwrite",
+        batch_size=2, drop_capacity=128, raster_profile="tiny",
+        verbose=False)
+    base.update(kw)
+    return JobSpec(**base)
+
+
+@pytest.fixture(scope="module")
+def toy(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("toy_ds"))
+    make_dataset(tmp)
+    xml = make_particles(tmp, (W, H))
+    return tmp, xml
+
+
+def test_end_to_end_render(toy):
+    tmp, xml = toy
+    stats = RenderJob(make_spec(tmp, xml)).run()
+    assert stats["rendered"] == 3
+    out = os.path.join(tmp, "output", "toy", "seqA", "rain", "25mm")
+    imgs = sorted(os.listdir(os.path.join(out, "rainy_image")))
+    assert imgs == ["000000.png", "000001.png", "000002.png"]
+    masks = os.listdir(os.path.join(out, "rain_mask"))
+    assert len(masks) == 6  # colormapped + _raw 16-bit companions
+    arr = np.asarray(Image.open(
+        os.path.join(out, "rainy_image", imgs[0])))
+    assert arr.shape == (H, W, 3)
+    assert arr.std() > 1  # not a constant image
+
+
+def test_skip_strategy_resumes(toy):
+    tmp, xml = toy
+    spec = make_spec(tmp, xml, conflict_strategy="skip")
+    stats = RenderJob(spec).run()
+    assert stats["rendered"] == 0
+    assert stats["skipped"] == 3
+
+
+def test_determinism_rerender_identical(toy):
+    tmp, xml = toy
+    out = os.path.join(tmp, "output", "toy", "seqA", "rain", "25mm")
+    first = np.asarray(Image.open(
+        os.path.join(out, "rainy_image", "000001.png"))).copy()
+    RenderJob(make_spec(tmp, xml, conflict_strategy="overwrite")).run()
+    second = np.asarray(Image.open(
+        os.path.join(out, "rainy_image", "000001.png")))
+    np.testing.assert_array_equal(first, second)
+
+
+def test_frame_window(toy):
+    tmp, xml = toy
+    spec = make_spec(
+        tmp, xml, frame_start=1, frame_end=2,
+        output_root=os.path.join(tmp, "output_window"))
+    stats = RenderJob(spec).run()
+    assert stats["rendered"] == 1
+    out = os.path.join(tmp, "output_window", "toy", "seqA", "rain",
+                       "25mm", "rainy_image")
+    assert os.listdir(out) == ["000001.png"]
+
+
+def test_frame_determinism_independent_of_start(toy):
+    # Reference behavior: per-frame seeding makes output independent of
+    # --frame_start (generator.py:303,317-318).
+    tmp, xml = toy
+    a = np.asarray(Image.open(os.path.join(
+        tmp, "output", "toy", "seqA", "rain", "25mm", "rainy_image",
+        "000001.png")))
+    b = np.asarray(Image.open(os.path.join(
+        tmp, "output_window", "toy", "seqA", "rain", "25mm",
+        "rainy_image", "000001.png")))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rename_folder_strategy(toy):
+    tmp, xml = toy
+    spec = make_spec(tmp, xml, conflict_strategy="rename_folder")
+    RenderJob(spec).run()
+    seq_dir = os.path.join(tmp, "output", "toy", "seqA", "rain")
+    assert "25mm_copy00000" in os.listdir(seq_dir)
+
+
+def test_online_job(toy):
+    tmp, _xml = toy
+    from raintpu.render.online import OnlineRenderJob
+
+    spec = make_spec(tmp, None, particles={"seqA": [None]},
+                     output_root=os.path.join(tmp, "output_online"))
+    stats = OnlineRenderJob(spec).run()
+    assert stats["rendered"] == 3
+    out = os.path.join(tmp, "output_online", "toy", "seqA", "rain",
+                       "25mm", "rainy_image")
+    assert len(os.listdir(out)) == 3
