@@ -10,6 +10,7 @@ render step is timed steady-state.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,7 +20,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from raintpu.data.textures import procedural_streak_database
+    # Persistent compilation cache: first-run compiles through the
+    # remote TPU compiler are minutes; repeats are instant.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+    from raintpu.data.textures import procedural_streak_database, texture_bank
     from raintpu.ops.rasterize import BucketSpec, RasterConfig
     from raintpu.physics.simulator import SimConfig, simulate_frames
     from raintpu.render.camera import CameraSettings, RenderSettings
@@ -52,7 +58,7 @@ def main():
     depth = jnp.asarray((rng.rand(BATCH, H, W) * 60 + 3).astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(1), BATCH)
     db = procedural_streak_database()
-    tex = jnp.asarray(db.textures)
+    tex = texture_bank(db)
     edges = jnp.asarray(db.bin_edges)
 
     def step(keys):

@@ -152,6 +152,53 @@ def procedural_streak_database(seed: int = 0,
                           source="procedural")
 
 
+def factorize_streak_db(db: StreakDatabase, rank: int = 4,
+                        modes_y: int = 24, modes_x: int = 10):
+    """Separable low-rank DCT factorization of the texture bank.
+
+    Each texture is factored tex ~= sum_r u_r(y) * v_r(x) (truncated
+    SVD), and each factor expanded in the DCT-II cosine basis
+    phi_m(i) = cos(pi*m*(i+0.5)/L). Returns (ay, bx):
+
+        ay: (K, rank, modes_y)   row-axis coefficients
+        bx: (K, rank, modes_x)   col-axis coefficients
+
+    so that tex(y, x) ~= sum_r [sum_m ay[m] cos(pi m yhat)] *
+                         [sum_n bx[n] cos(pi n xhat)].
+
+    This is the gather-free texture representation the TPU rasterizer
+    evaluates analytically (see ops/rasterize): streak textures are
+    smooth (Gaussian cross-sections with slow oscillation — Garg &
+    Nayar 2006), so a handful of ranks/modes reconstructs them to ~1%%.
+    As the basis is even-periodic, Gaussian blur of the texture is
+    exactly a per-mode damping factor — which is how defocus
+    (bad_weather.py:286-298) and area-resampling antialiasing are
+    applied without any convolution.
+    """
+    from scipy.fft import dct
+
+    k, th, tw = db.textures.shape
+    ay = np.zeros((k, rank, modes_y), np.float32)
+    bx = np.zeros((k, rank, modes_x), np.float32)
+
+    def dct_coefs(x, modes):
+        # scipy DCT-II: X_m = 2 sum_n x_n cos(pi m (2n+1)/(2L)); inverse
+        # x_n = X0/(2L) + (1/L) sum_{m>=1} X_m cos(pi m (n+0.5)/L).
+        X = dct(x, type=2)
+        c = np.zeros(modes)
+        c[0] = X[0] / (2 * len(x))
+        upto = min(modes, len(x))
+        c[1:upto] = X[1:upto] / len(x)
+        return c
+
+    for i in range(k):
+        u, s, vt = np.linalg.svd(db.textures[i], full_matrices=False)
+        for r in range(min(rank, len(s))):
+            ay[i, r] = dct_coefs(u[:, r] * np.sqrt(s[r]), modes_y)
+            bx[i, r] = dct_coefs(vt[r] * np.sqrt(s[r]), modes_x)
+    return ay, bx
+
+
 def get_streak_database(streaks_path: Optional[str] = None,
                         norm_coeff_path: Optional[str] = None,
                         canvas: Tuple[int, int] = DEFAULT_CANVAS,
@@ -161,3 +208,32 @@ def get_streak_database(streaks_path: Optional[str] = None,
             and os.path.exists(norm_coeff_path)):
         return load_streak_database(streaks_path, norm_coeff_path, canvas)
     return procedural_streak_database(seed=seed, canvas=canvas)
+
+
+@dataclasses.dataclass
+class TextureBank:
+    """Device-ready texture bank: raw textures + the DCT factorization
+    (registered as a jax pytree at first use — this module stays
+    importable without jax)."""
+
+    raw: object   # (K, TH, TW)
+    ay: object    # (K, R, My)
+    bx: object    # (K, R, Mx)
+
+
+_bank_registered = False
+
+
+def texture_bank(db: StreakDatabase, rank: int = 6, modes_y: int = 32,
+                 modes_x: int = 12) -> TextureBank:
+    global _bank_registered
+    import jax
+    import jax.numpy as jnp
+
+    if not _bank_registered:
+        jax.tree_util.register_dataclass(TextureBank)
+        _bank_registered = True
+    ay, bx = factorize_streak_db(db, rank=rank, modes_y=modes_y,
+                                 modes_x=modes_x)
+    return TextureBank(raw=jnp.asarray(db.textures), ay=jnp.asarray(ay),
+                       bx=jnp.asarray(bx))

@@ -5,17 +5,21 @@ Two distinct blur semantics exist in the reference and both are matched:
 - ``cv2.GaussianBlur(img, (K, K), sigma)`` for the fog pass
   (``add_attenuation.py:79-80``) and envmap feathering
   (``bad_weather.py:815``): a truncated kernel of *fixed* width K
-  regardless of sigma, with REFLECT_101 borders.
+  regardless of sigma, with REFLECT_101 borders. Implemented as two
+  depthwise convolutions (native XLA convs — compile fast, run on the
+  conv units).
 - ``scipy.ndimage.gaussian_filter(patch, [s1, s2, 0])`` for per-drop
-  defocus (``bad_weather.py:296``): kernel radius ``int(4*sigma + 0.5)``.
-  Per-drop sigma means a *batched, per-item-kernel* separable convolution
-  here (:func:`variable_separable_blur`), the TPU-native replacement for
-  blurring each drop patch individually on host.
+  defocus (``bad_weather.py:296``): kernel radius ``int(4*sigma+0.5)``,
+  *different sigma per drop*. Implemented as two banded batched matmuls
+  (one (C,H,H) and one (C,W,W) Gaussian band matrix) — the TPU-native
+  form: an einsum on the MXU instead of hundreds of unrolled
+  shift-multiply ops (which blow up both compile time and VPU work).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -35,43 +39,52 @@ def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """Separable blur of (H, W) or (H, W, C) with one static 1-D kernel.
 
     Borders are REFLECT_101 (cv2 default; jnp.pad mode='reflect').
-    Implemented as two dense 1-D convolutions via dot products along
-    unrolled taps — XLA fuses this into a small number of vector ops and
-    it maps cleanly onto the VPU (no gather).
     """
     k = jnp.asarray(kernel, dtype=img.dtype)
-    r = (kernel.shape[0] - 1) // 2
+    ksize = kernel.shape[0]
+    r = (ksize - 1) // 2
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
+    h, w, c = img.shape
 
-    # Rows (axis 0)
-    p = jnp.pad(img, ((r, r), (0, 0), (0, 0)), mode="reflect")
-    out = jnp.zeros_like(img)
-    for i in range(kernel.shape[0]):
-        out = out + k[i] * p[i:i + img.shape[0]]
-    # Cols (axis 1)
-    p = jnp.pad(out, ((0, 0), (r, r), (0, 0)), mode="reflect")
-    out = jnp.zeros_like(img)
-    for i in range(kernel.shape[0]):
-        out = out + k[i] * p[:, i:i + img.shape[1]]
-
+    p = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
+    # Depthwise conv: (N=1, C, H, W) with per-channel identical kernel.
+    x = p.transpose(2, 0, 1)[None]                       # (1, C, H+, W+)
+    krow = jnp.broadcast_to(k[None, None, :, None], (c, 1, ksize, 1))
+    kcol = jnp.broadcast_to(k[None, None, None, :], (c, 1, 1, ksize))
+    dn = jax.lax.conv_dimension_numbers(x.shape, krow.shape,
+                                        ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, krow, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kcol, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    out = x[0].transpose(1, 2, 0)
     return out[..., 0] if squeeze else out
 
 
-def _scipy_taps(sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Per-item scipy-compatible Gaussian taps.
+def _band_matrix(sigma: jnp.ndarray, size: int, radius: int) -> jnp.ndarray:
+    """Per-item Gaussian band matrix (N, size, size).
 
-    sigma: (N,) — per-item sigma. Returns (N, 2*radius+1) weights where
-    taps beyond each item's own truncation radius int(4*sigma + 0.5) are
-    zero, matching ``scipy.ndimage.gaussian_filter`` truncate=4.0.
+    Row i holds the scipy-compatible taps centered at i: truncated at
+    min(radius, int(4*sigma+0.5)), normalized by the FULL kernel mass
+    (so border rows lose mass exactly like zero-padded convolution).
     """
     sigma = jnp.maximum(sigma, 1e-6)
-    k = jnp.arange(-radius, radius + 1, dtype=sigma.dtype)  # (K,)
-    w = jnp.exp(-(k[None, :] ** 2) / (2.0 * sigma[:, None] ** 2))
-    item_radius = jnp.floor(4.0 * sigma + 0.5)
-    w = jnp.where(jnp.abs(k)[None, :] <= item_radius[:, None], w, 0.0)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+    idx = jnp.arange(size, dtype=jnp.float32)
+    d = idx[None, :] - idx[:, None]                     # (size, size) k - i
+    item_radius = jnp.minimum(jnp.floor(4.0 * sigma + 0.5), float(radius))
+    w = jnp.exp(-(d[None] ** 2) / (2.0 * sigma[:, None, None] ** 2))
+    w = jnp.where(jnp.abs(d)[None] <= item_radius[:, None, None], w, 0.0)
+    # Full-kernel normalizer (independent of position): sum over taps
+    # |k| <= item_radius of exp(-k^2/2s^2).
+    k = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    full = jnp.exp(-(k[None, :] ** 2) / (2.0 * sigma[:, None] ** 2))
+    full = jnp.where(jnp.abs(k)[None, :] <= item_radius[:, None], full, 0.0)
+    norm = jnp.sum(full, axis=-1)                        # (N,)
+    return w / norm[:, None, None]
 
 
 def variable_separable_blur(patches: jnp.ndarray,
@@ -82,23 +95,17 @@ def variable_separable_blur(patches: jnp.ndarray,
 
     patches: (N, H, W); sigma_rows/sigma_cols: (N,). ``radius`` is the
     static maximum kernel radius; per-item sigmas larger than radius/4
-    are effectively clamped (their tails are truncated at ``radius``).
+    are effectively clamped (their tails truncate at ``radius``).
 
-    Zero padding is used: drop patches are rasterized with a zero margin
-    at least as wide as the blur support (the reference pads with
-    ``copyMakeBorder(..., BORDER_CONSTANT, 0)`` of 10*sigma,
-    ``bad_weather.py:293-295``), so border mode cannot influence content.
+    Zero padding semantics: drop patches carry a zero margin at least
+    as wide as the blur support (the reference pads with
+    ``copyMakeBorder(..., 0)`` of 10*sigma, ``bad_weather.py:293-295``),
+    so border handling cannot influence content.
     """
-    wr = _scipy_taps(sigma_rows, radius)  # (N, K)
-    wc = _scipy_taps(sigma_cols, radius)
     n, h, w = patches.shape
-
-    p = jnp.pad(patches, ((0, 0), (radius, radius), (0, 0)))
-    out = jnp.zeros_like(patches)
-    for i in range(2 * radius + 1):
-        out = out + wr[:, i, None, None] * p[:, i:i + h, :]
-    p = jnp.pad(out, ((0, 0), (0, 0), (radius, radius)))
-    out = jnp.zeros_like(patches)
-    for i in range(2 * radius + 1):
-        out = out + wc[:, i, None, None] * p[:, :, i:i + w]
-    return out
+    wr = _band_matrix(sigma_rows, h, radius)             # (N, H, H)
+    out = jnp.einsum("nik,nkj->nij", wr, patches,
+                     preferred_element_type=jnp.float32)
+    wc = _band_matrix(sigma_cols, w, radius)             # (N, W, W)
+    return jnp.einsum("njk,nik->nij", wc, out,
+                      preferred_element_type=jnp.float32)

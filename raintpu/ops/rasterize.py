@@ -55,6 +55,12 @@ class RasterConfig:
     # The reference hardcodes the CoC pixel size to 4.65e-6 m
     # (bad_weather.py:469) regardless of dataset; kept for parity.
     coc_pixsize: float = 4.65e-6
+    # Texture sampling: "fourier" evaluates the separable DCT streak
+    # representation analytically (no gathers, defocus + antialiasing
+    # folded in as per-mode damping — the TPU-native path); "gather"
+    # bilinearly samples the stored textures (golden/compat path; its
+    # big gathers are pathological for the TPU compiler).
+    texture_mode: str = "fourier"
 
     @staticmethod
     def default(capacity: int) -> "RasterConfig":
@@ -65,6 +71,7 @@ class RasterConfig:
         ))
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RasterBucket:
     """Rasterized (and blurred) drops of one size bucket."""
@@ -316,6 +323,56 @@ def _sample_texture(textures: jnp.ndarray, tex_idx: jnp.ndarray,
             + fx * fy * tap(x0i + 1, y0i + 1))
 
 
+def _eval_dct_rank_series(coefs: jnp.ndarray, xhat: jnp.ndarray):
+    """Evaluate R cosine series at arbitrary points via the Chebyshev
+    recurrence (cos(m*theta) from cos(theta)) — one transcendental per
+    point, then M*R fused multiply-adds. coefs: (C, R, M);
+    xhat: (C, PH, PW) in [0, 1] (even-periodic outside).
+    Returns (R, C, PH, PW) stacked rank values.
+    """
+    c_, r_, m_ = coefs.shape
+    t = jnp.cos(jnp.pi * xhat)
+    accs = [jnp.broadcast_to(coefs[:, r, 0][:, None, None], xhat.shape)
+            for r in range(r_)]
+    cm_prev = jnp.ones_like(t)
+    cm = t
+    for m in range(1, m_):
+        for r in range(r_):
+            accs[r] = accs[r] + coefs[:, r, m][:, None, None] * cm
+        cm, cm_prev = 2.0 * t * cm - cm_prev, cm
+    return accs
+
+
+def _mode_damping(sigma_hat: jnp.ndarray, n_modes: int) -> jnp.ndarray:
+    """Gaussian blur as spectral damping: mode m scales by
+    exp(-(pi*m*sigma_hat)^2 / 2). sigma_hat: (C,) normalized sigma."""
+    m = jnp.arange(n_modes, dtype=jnp.float32)
+    return jnp.exp(-0.5 * (jnp.pi * m[None, :] * sigma_hat[:, None]) ** 2)
+
+
+def _tex_jacobian(m_sel: jnp.ndarray, wh_c: jnp.ndarray) -> jnp.ndarray:
+    """Jacobian d(tex)/d(patch) of the (possibly projective) inverse map
+    at the content center. m_sel: (C, 3, 3); wh_c: (C, 2). -> (C, 2, 2)
+    with rows (dtx/dlx, dtx/dly), (dty/dlx, dty/dly)."""
+    cx = wh_c[:, 0] / 2.0
+    cy = wh_c[:, 1] / 2.0
+
+    def apply(mm, x, y):
+        hx = mm[:, 0, 0] * x + mm[:, 0, 1] * y + mm[:, 0, 2]
+        hy = mm[:, 1, 0] * x + mm[:, 1, 1] * y + mm[:, 1, 2]
+        hz = mm[:, 2, 0] * x + mm[:, 2, 1] * y + mm[:, 2, 2]
+        hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
+        return hx / hz, hy / hz
+
+    tx0, ty0 = apply(m_sel, cx, cy)
+    txx, tyx = apply(m_sel, cx + 1.0, cy)
+    txy, tyy = apply(m_sel, cx, cy + 1.0)
+    return jnp.stack([
+        jnp.stack([txx - tx0, txy - tx0], -1),
+        jnp.stack([tyx - ty0, tyy - ty0], -1),
+    ], axis=1)
+
+
 def _compact(mask: jnp.ndarray, capacity: int):
     """First `capacity` true indices of mask (sorted), + validity."""
     n = mask.shape[0]
@@ -330,15 +387,130 @@ def _compact(mask: jnp.ndarray, capacity: int):
     return jnp.minimum(idx, n - 1), sel_valid, overflow
 
 
+def _patch_tex_coords(ph, pw, m_sel, offx, offy, sub_y=0.0, sub_x=0.0):
+    """Content-local coords + texture coords for every patch pixel.
+
+    Returns (lx, ly, tx, ty), each broadcastable to (C, PH, PW)."""
+    ii = jnp.arange(ph, dtype=jnp.float32) + sub_y
+    jj = jnp.arange(pw, dtype=jnp.float32) + sub_x
+    ly = ii[None, :, None] - offy[:, None, None]        # (C, PH, 1)
+    lx = jj[None, None, :] - offx[:, None, None]        # (C, 1, PW)
+    hx = (m_sel[:, 0, 0, None, None] * lx
+          + m_sel[:, 0, 1, None, None] * ly + m_sel[:, 0, 2, None, None])
+    hy = (m_sel[:, 1, 0, None, None] * lx
+          + m_sel[:, 1, 1, None, None] * ly + m_sel[:, 1, 2, None, None])
+    hz = (m_sel[:, 2, 0, None, None] * lx
+          + m_sel[:, 2, 1, None, None] * ly + m_sel[:, 2, 2, None, None])
+    hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
+    return lx, ly, hx / hz, hy / hz
+
+
+def _raster_bucket_gather(b: BucketSpec, supersample, textures, t_sel,
+                          m_sel, wh_c, offx, offy) -> jnp.ndarray:
+    """Bilinear-gather rasterization with subsample accumulation
+    (accumulating at (PH, PW) instead of materializing (PH*s, PW*s),
+    which is s^2 the memory)."""
+    s = supersample
+    g = jnp.zeros((b.capacity, b.ph, b.pw), jnp.float32)
+    for sy in range(s):
+        for sx in range(s):
+            dy = (sy + 0.5) / s - 0.5
+            dx = (sx + 0.5) / s - 0.5
+            lx, ly, tx, ty = _patch_tex_coords(b.ph, b.pw, m_sel,
+                                               offx, offy, dy, dx)
+            inside = ((lx > -0.5) & (lx < wh_c[:, 0, None, None] - 0.5)
+                      & (ly > -0.5) & (ly < wh_c[:, 1, None, None] - 0.5))
+            sample = _sample_texture(textures, t_sel, tx, ty)
+            g = g + jnp.where(inside, sample, 0.0)
+    # Mean over subsamples, clip [0, 1] (reference clips after warp,
+    # generator.py:132,170).
+    return jnp.clip(g / (s * s), 0.0, 1.0)
+
+
+def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
+                           offx, offy, sigma, tex_hw,
+                           apply_defocus: bool) -> jnp.ndarray:
+    """Analytic rasterization from the separable DCT streak bank.
+
+    No gathers: per-drop texture coefficients come via a one-hot matmul
+    (MXU), defocus blur (sigma rows, sigma/2 cols in patch space,
+    bad_weather.py:291) and pixel-footprint antialiasing become
+    per-mode Gaussian damping through the map's Jacobian, and the patch
+    is one cosine-series evaluation per pixel (VPU).
+    """
+    ay, bx = fourier
+    k, r_, m_modes = ay.shape
+    n_modes = bx.shape[2]
+    th, tw = tex_hw
+
+    # Per-drop rank coefficients: one-hot matmul instead of gather.
+    onehot = (t_sel[:, None] ==
+              jnp.arange(k, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    ayc = (onehot @ ay.reshape(k, r_ * m_modes)).reshape(-1, r_, m_modes)
+    bxc = (onehot @ bx.reshape(k, r_ * n_modes)).reshape(-1, r_, n_modes)
+
+    # Texture-space blur sigmas through the Jacobian at content center:
+    # patch-space defocus is (sigma rows, sigma/2 cols); the pixel
+    # footprint adds box variance J^2/12 (INTER_AREA equivalent).
+    jac = _tex_jacobian(m_sel, wh_c)                    # (C, 2, 2)
+    s_rows = sigma if apply_defocus else jnp.zeros_like(sigma)
+    s_cols = s_rows / 2.0
+    var_tx = ((jac[:, 0, 0] * s_cols) ** 2 + (jac[:, 0, 1] * s_rows) ** 2
+              + (jac[:, 0, 0] ** 2 + jac[:, 0, 1] ** 2) / 12.0)
+    var_ty = ((jac[:, 1, 0] * s_cols) ** 2 + (jac[:, 1, 1] * s_rows) ** 2
+              + (jac[:, 1, 0] ** 2 + jac[:, 1, 1] ** 2) / 12.0)
+    sig_xhat = jnp.sqrt(var_tx) / tw
+    sig_yhat = jnp.sqrt(var_ty) / th
+    ayc = ayc * _mode_damping(sig_yhat, m_modes)[:, None, :]
+    bxc = bxc * _mode_damping(sig_xhat, n_modes)[:, None, :]
+
+    lx, ly, tx, ty = _patch_tex_coords(b.ph, b.pw, m_sel, offx, offy)
+    xhat = (tx + 0.5) / tw
+    yhat = (ty + 0.5) / th
+
+    # Content window: the reference blurs the warped patch — i.e. the
+    # content times a box window gets convolved with the Gaussian. We
+    # model blur(content * box) ~= blur(content) * blur(box); the
+    # blurred box is a pair of erfs, which gives the soft spilled edge
+    # without the even-periodic basis mirroring whole streaks into the
+    # margins (which would inflate energy several-fold).
+    from jax.scipy.special import erf
+
+    sqrt2 = 1.4142135
+    scx = jnp.maximum(s_cols, 1e-3)[:, None, None]
+    scy = jnp.maximum(s_rows, 1e-3)[:, None, None]
+    wcx = wh_c[:, 0, None, None]
+    wcy = wh_c[:, 1, None, None]
+    win = (0.5 * (erf((lx + 0.5) / (sqrt2 * scx))
+                  - erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
+           * 0.5 * (erf((ly + 0.5) / (sqrt2 * scy))
+                    - erf((ly - (wcy - 0.5)) / (sqrt2 * scy))))
+    # Bound the basis' mirror extension to a quarter-texture overhang
+    # (edge continuation only; the gather path zeroes outside).
+    win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
+                    & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+
+    uy = _eval_dct_rank_series(ayc, yhat)
+    vx = _eval_dct_rank_series(bxc, xhat)
+    g = uy[0] * vx[0]
+    for r in range(1, r_):
+        g = g + uy[r] * vx[r]
+    return jnp.clip(g, 0.0, 1.0) * win
+
+
 def rasterize_frame_drops(drops: DropBatch,
                           geom: DropGeometry,
                           textures: jnp.ndarray,
                           tex_idx: jnp.ndarray,
                           image_wh: Tuple[int, int],
                           cfg: RasterConfig,
-                          apply_defocus: bool) -> Tuple[RasterBucket, ...]:
+                          apply_defocus: bool,
+                          fourier=None) -> Tuple[RasterBucket, ...]:
     """Route drops into size buckets and rasterize + defocus-blur each.
 
+    ``fourier``: (ay, bx) DCT coefficient arrays (K, R, M)/(K, R, N)
+    from :func:`raintpu.data.textures.factorize_streak_db` — required
+    when cfg.texture_mode == "fourier".
     Returns one RasterBucket per cfg.buckets entry.
     """
     w_img, h_img = image_wh
@@ -378,42 +550,17 @@ def rasterize_frame_drops(drops: DropBatch,
         offx = minc[:, 0] - ax.astype(minc.dtype)   # content start in patch
         offy = minc[:, 1] - ay.astype(minc.dtype)
 
-        s = cfg.supersample
-        ii = jnp.arange(b.ph, dtype=jnp.float32)
-        jj = jnp.arange(b.pw, dtype=jnp.float32)
-
-        # Accumulate the s x s subsamples at (PH, PW) resolution instead
-        # of materializing a (PH*s, PW*s) intermediate (which would be
-        # s^2 the memory — OOM at production batch sizes).
-        g = jnp.zeros((b.capacity, b.ph, b.pw), jnp.float32)
-        for sy in range(s):
-            for sx in range(s):
-                py = ii + (sy + 0.5) / s - 0.5          # (PH,)
-                px = jj + (sx + 0.5) / s - 0.5          # (PW,)
-                ly = py[None, :, None] - offy[:, None, None]  # (C, PH, 1)
-                lx = px[None, None, :] - offx[:, None, None]  # (C, 1, PW)
-
-                inside = ((lx > -0.5) & (lx < wh_c[:, 0, None, None] - 0.5)
-                          & (ly > -0.5) & (ly < wh_c[:, 1, None, None] - 0.5))
-
-                hx = (m_sel[:, 0, 0, None, None] * lx
-                      + m_sel[:, 0, 1, None, None] * ly
-                      + m_sel[:, 0, 2, None, None])
-                hy = (m_sel[:, 1, 0, None, None] * lx
-                      + m_sel[:, 1, 1, None, None] * ly
-                      + m_sel[:, 1, 2, None, None])
-                hz = (m_sel[:, 2, 0, None, None] * lx
-                      + m_sel[:, 2, 1, None, None] * ly
-                      + m_sel[:, 2, 2, None, None])
-                hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
-                sample = _sample_texture(textures, t_sel, hx / hz, hy / hz)
-                g = g + jnp.where(inside, sample, 0.0)
-        # Mean over subsamples, clip [0, 1] (reference clips after warp,
-        # generator.py:132,170).
-        g = jnp.clip(g / (s * s), 0.0, 1.0)
-
-        if apply_defocus:
-            g = variable_separable_blur(g, sigma, sigma / 2.0, b.radius)
+        if cfg.texture_mode == "fourier" and fourier is not None:
+            g = _raster_bucket_fourier(
+                b, fourier, t_sel, m_sel, wh_c, offx, offy, sigma,
+                textures.shape[1:], apply_defocus)
+        else:
+            g = _raster_bucket_gather(
+                b, cfg.supersample, textures, t_sel, m_sel, wh_c,
+                offx, offy)
+            if apply_defocus:
+                g = variable_separable_blur(g, sigma, sigma / 2.0,
+                                            b.radius)
 
         g = jnp.where(sel_valid[:, None, None], g, 0.0)
         out.append(RasterBucket(

@@ -43,13 +43,25 @@ def _vec(text: str) -> np.ndarray:
     return np.asarray([float(v) for v in text[1:-1].split(";")])
 
 
-def parse_particles_xml_raw(path: str) -> List[dict]:
+def parse_particles_xml_raw(path: str, prefer_native: bool = True
+                            ) -> List[dict]:
     """Parse an XML simulation into raw per-frame records (sim-space).
 
     Returns a list of dicts with keys: id, exposure, start, and raw
     arrays ip1, ip2 (M, 2), iw1, iw2 (M,), wp1, wp2 (M, 3) in simulator
-    conventions (no flips applied).
+    conventions (no flips applied). Uses the native C++ parser
+    (raintpu/native) when built; ElementTree otherwise.
     """
+    if prefer_native:
+        try:
+            from raintpu.particles.native import (available,
+                                                  parse_particles_xml_native)
+            if available():
+                return parse_particles_xml_native(path)
+        except RuntimeError as e:
+            if "corrupted" in str(e):
+                raise
+            # else fall through to the Python parser
     try:
         root = xml_parse(path).getroot()
     except Exception as e:

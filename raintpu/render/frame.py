@@ -48,6 +48,17 @@ class PipelineConfig:
     env_downsample: int = 4
     save_envmap: bool = False
     compute_saturation_mask: bool = False
+    # Field accumulation backend: "auto" = Pallas RMW kernel on TPU,
+    # XLA scatter elsewhere; or force "pallas" / "xla".
+    composite_mode: str = "auto"
+
+    def use_pallas(self) -> bool:
+        if self.composite_mode == "pallas":
+            return True
+        if self.composite_mode == "xla":
+            return False
+        import jax
+        return jax.default_backend() == "tpu"
 
     @property
     def image_wh(self) -> Tuple[int, int]:
@@ -94,23 +105,31 @@ def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
     return fogged, env_rgb
 
 
-def drop_fields(env_rgb, drops: DropBatch, textures: jnp.ndarray,
-                bin_edges: jnp.ndarray, key: jax.Array,
-                cfg: PipelineConfig, drop_offset=0):
-    """Per-drop stage: photometry + rasterization + field accumulation.
+def drop_patches(env_rgb, drops: DropBatch, textures,
+                 bin_edges: jnp.ndarray, key: jax.Array,
+                 cfg: PipelineConfig, drop_offset=0):
+    """Per-drop stage up to rasterized patches: photometry, texture
+    pick, geometry, rasterization (+ folded defocus).
 
     Pure in the drop batch — a subset of drops yields that subset's
-    field contribution, so this stage shards over drops with a psum
-    (see raintpu.parallel). ``drop_offset`` is the global index of the
-    first drop in this shard: all per-drop randomness is keyed by
-    (frame key, global drop index), so the result is bit-invariant to
-    the sharding layout. Returns (FieldMaps, overflow).
+    buckets, so this stage shards over drops (see raintpu.parallel).
+    ``drop_offset`` is the global index of the first drop in this
+    shard: all per-drop randomness is keyed by (frame key, global drop
+    index), so results are bit-invariant to the sharding layout.
+    Returns (buckets, lo (N,), add_rgb (N, 3), overflow).
     """
     st = cfg.settings
     cam = st.camera
     strategy = st.rendering_strategy
     physics = strategy is None
     n = drops.ip1.shape[0]
+
+    # `textures` may be a TextureBank (raw + DCT factors — enables the
+    # gather-free analytic sampler) or a plain (K, TH, TW) array.
+    fourier = None
+    if hasattr(textures, "ay"):
+        fourier = (textures.ay, textures.bx)
+        textures = textures.raw
 
     if physics:
         env = photometry_ops.env_features(env_rgb, cfg.env_downsample)
@@ -138,7 +157,7 @@ def drop_fields(env_rgb, drops: DropBatch, textures: jnp.ndarray,
         apply_defocus=physics, noise_deg=noise_deg)
     buckets = raster_ops.rasterize_frame_drops(
         drops, geom_d, textures, tex_idx, cfg.image_wh, cfg.raster,
-        apply_defocus=physics)
+        apply_defocus=physics, fourier=fourier)
 
     lo, add_scale = composite_ops.blend_coefficients(
         drops.iw1, drops.iw2, drops.length,
@@ -146,9 +165,18 @@ def drop_fields(env_rgb, drops: DropBatch, textures: jnp.ndarray,
         opacity_attenuation=st.opacity_attenuation,
         rendering_strategy=strategy)
     add_rgb = gains * add_scale[:, None]                  # (N, 3)
+    overflow = jnp.stack([b.overflow for b in buckets])
+    return buckets, lo, add_rgb, overflow
+
+
+def drop_fields(env_rgb, drops: DropBatch, textures, bin_edges,
+                key: jax.Array, cfg: PipelineConfig, drop_offset=0):
+    """drop_patches + XLA field accumulation (vmappable/shardable).
+    Returns (FieldMaps, overflow)."""
+    buckets, lo, add_rgb, overflow = drop_patches(
+        env_rgb, drops, textures, bin_edges, key, cfg, drop_offset)
     fields = composite_ops.composite_drops(
         cfg.image_hw, buckets, lo, add_rgb)
-    overflow = jnp.stack([b.overflow for b in buckets])
     return fields, overflow
 
 
@@ -196,11 +224,42 @@ def render_frame_jit(bg, depth, drops, textures, bin_edges, key,
 def render_frames(bg: jnp.ndarray,
                   depth: jnp.ndarray,
                   drops: DropBatch,
-                  textures: jnp.ndarray,
+                  textures,
                   bin_edges: jnp.ndarray,
                   keys: jax.Array,
                   cfg: PipelineConfig) -> FrameOutput:
-    """Batched render: leading batch dim on bg/depth/drops/keys."""
-    return jax.vmap(
-        lambda b, d, dr, k: render_frame(b, d, dr, textures, bin_edges,
-                                         k, cfg))(bg, depth, drops, keys)
+    """Batched render: leading batch dim on bg/depth/drops/keys.
+
+    On TPU the field accumulation runs in the batched Pallas RMW kernel
+    (batch folded into the kernel grid); everything else is vmapped.
+    """
+    if not cfg.use_pallas():
+        return jax.vmap(
+            lambda b, d, dr, k: render_frame(b, d, dr, textures,
+                                             bin_edges, k, cfg))(
+            bg, depth, drops, keys)
+
+    from raintpu.ops.pallas.composite_kernel import (
+        composite_drops_pallas_batched)
+
+    def stage1(b, d, dr, k):
+        fogged, env_rgb = frame_background(b, d, cfg)
+        buckets, lo, add_rgb, overflow = drop_patches(
+            env_rgb, dr, textures, bin_edges, k, cfg)
+        return fogged, env_rgb, buckets, lo, add_rgb, overflow
+
+    fogged, env_rgb, buckets, lo, add_rgb, overflow = jax.vmap(stage1)(
+        bg, depth, drops, keys)
+
+    fields = composite_drops_pallas_batched(
+        cfg.image_hw, buckets, lo, add_rgb)
+
+    def stage2(b, fg, fl, env, ov):
+        return finalize_frame(b, fg, fl, env, ov, cfg)
+
+    if env_rgb is None:
+        return jax.vmap(
+            lambda b, fg, fl, ov: finalize_frame(b, fg, fl, None, ov,
+                                                 cfg))(
+            bg, fogged, fields, overflow)
+    return jax.vmap(stage2)(bg, fogged, fields, env_rgb, overflow)

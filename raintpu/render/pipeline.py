@@ -28,7 +28,8 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from raintpu.data import io as data_io
-from raintpu.data.textures import StreakDatabase, get_streak_database
+from raintpu.data.textures import (StreakDatabase, get_streak_database,
+                                   texture_bank)
 from raintpu.particles import xml_io
 from raintpu.particles.schema import pack_drop_batch
 from raintpu.render.camera import RenderSettings, settings_from_dict
@@ -177,7 +178,7 @@ class RenderJob:
         stats = {"rendered": 0, "skipped": 0, "failed": 0}
         self.db = get_streak_database(s.streaks_db, s.norm_coeff,
                                       seed=s.seed)
-        textures = jnp.asarray(self.db.textures)
+        textures = texture_bank(self.db)
         edges = jnp.asarray(self.db.bin_edges)
 
         prog = ProgressScope(["sequence", "weather", "frame"])

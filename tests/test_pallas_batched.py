@@ -1,0 +1,59 @@
+"""Batched Pallas composite vs XLA composite on a full render."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raintpu.data.textures import procedural_streak_database, texture_bank
+from raintpu.ops.rasterize import BucketSpec, RasterConfig
+from raintpu.physics.simulator import SimConfig, simulate_frames
+from raintpu.render.camera import CameraSettings, RenderSettings
+from raintpu.render.frame import PipelineConfig, render_frames
+
+
+def test_render_frames_pallas_matches_xla():
+    W, H, cap, B = 96, 48, 32, 3
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    sim = SimConfig(image_wh=(W, H), focal_px=(300.0, 300.0),
+                    exposure_s=2e-3, capacity=cap, z_max=5.0)
+    drops = simulate_frames(jax.random.PRNGKey(1), sim,
+                            jnp.full(B, 150.0), jnp.full(B, 5.0),
+                            jnp.full(B, 2e-3), jnp.ones(B))
+    rng = np.random.RandomState(0)
+    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(B, H, W) * 40 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    raster = RasterConfig(buckets=(BucketSpec(32, 24, 4, cap),
+                                   BucketSpec(64, 48, 8, 8)))
+    settings = RenderSettings(camera=CameraSettings(wh=(W, H),
+                                                    ccd_wh=(W, H)))
+    base = PipelineConfig(settings=settings, image_hw=(H, W),
+                          fallrate=150.0, raster=raster, env_downsample=8)
+
+    cfg_x = dataclasses.replace(base, composite_mode="xla")
+    out_x = render_frames(bg, depth, drops, bank, jnp.asarray(db.bin_edges),
+                          keys, cfg_x)
+    # Pallas path in interpret mode runs on CPU; jit of interpret=False
+    # pallas on CPU is unsupported, so monkeypatch interpret through.
+    import raintpu.ops.pallas.composite_kernel as ck
+    orig = ck.composite_drops_pallas_batched
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    ck.composite_drops_pallas_batched = interp
+    try:
+        cfg_p = dataclasses.replace(base, composite_mode="pallas")
+        out_p = render_frames(bg, depth, drops, bank,
+                              jnp.asarray(db.bin_edges), keys, cfg_p)
+    finally:
+        ck.composite_drops_pallas_batched = orig
+
+    np.testing.assert_allclose(np.asarray(out_p.rain_mask),
+                               np.asarray(out_x.rain_mask), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p.rainy_image),
+                               np.asarray(out_x.rainy_image), atol=1e-5)

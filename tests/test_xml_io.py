@@ -129,3 +129,19 @@ def test_pack_batch_capacity_overflow():
     assert int(b.count()) == 4
     # Widest drops kept.
     assert np.asarray(b.max_width)[:4].tolist() == [10, 9, 8, 7]
+
+
+def test_native_parser_matches_python(tmp_path):
+    from raintpu.particles.native import available, parse_particles_xml_native
+
+    if not available():
+        import pytest
+        pytest.skip("native parser not built")
+    p = _synthetic_xml(str(tmp_path), n_frames=4, n_drops=20)
+    a = xml_io.parse_particles_xml_raw(p, prefer_native=False)
+    b = parse_particles_xml_native(p)
+    assert len(a) == len(b)
+    for fa, fb in zip(a, b):
+        assert fa["id"] == fb["id"]
+        for k in ("ip1", "ip2", "iw1", "iw2", "wp1", "wp2", "pid"):
+            np.testing.assert_allclose(fa[k], fb[k], rtol=1e-6)
