@@ -37,11 +37,7 @@ def main():
     FALLRATE = 10.0
 
     settings = RenderSettings(camera=CameraSettings())  # KITTI defaults
-    raster = RasterConfig(buckets=(
-        BucketSpec(96, 64, 12, CAPACITY),
-        BucketSpec(320, 192, 32, 128),
-        BucketSpec(704, 384, 48, 32),
-    ))
+    raster = RasterConfig.default(CAPACITY)
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=FALLRATE, raster=raster)
 

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=os.path.join("data", "source"))
     p.add_argument("-p", "--post_fix", default="", type=str,
                    help="Postfix of GAN-modified files (nuscenes_gan)")
+    p.add_argument("--json_file", default=None,
+                   help="nuScenes split file with sample_data_tokens")
+    p.add_argument("-g", "--gan_root",
+                   default=os.path.join("data", "gan"),
+                   help="GAN-translated dataset root (nuscenes_gan)")
     p.add_argument("-s", "--sequences", default="",
                    help="Comma-separated sequence filter (prefix match)")
     p.add_argument("-ns", "--noise_scale", type=float, default=0.0)

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 LOG_EPS = 1e-6
 
 
-def _kernel(ax_ref,              # SMEM (C,) int32 — scalar prefetch
+def _kernel(n_ref,               # SMEM (1,) int32 — number of valid drops
+            ax_ref,              # SMEM (C,) int32 — scalar prefetch
             ay_ref,              # SMEM (C,) int32
             params_ref,          # SMEM (4, C) f32 — rows lo, add_r/g/b
             patches_ref,         # VMEM block (1, PH, PW)
@@ -52,30 +53,34 @@ def _kernel(ax_ref,              # SMEM (C,) int32 — scalar prefetch
     ax = pl.multiple_of(ax_ref[c], 128)
     ay = pl.multiple_of(ay_ref[c], 8)
 
-    outs = (alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref)
-    wins = [o.at[pl.ds(ay, ph), pl.ds(ax, pw)] for o in outs]
+    # Invalid drops are compacted to the tail; skip their DMAs entirely
+    # (the kernel is DMA-latency bound, so this is ~capacity/valid x).
+    @pl.when(c < n_ref[0])
+    def _():
+        outs = (alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref)
+        wins = [o.at[pl.ds(ay, ph), pl.ds(ax, pw)] for o in outs]
 
-    dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
-            for i, w in enumerate(wins)]
-    for d in dmas:
-        d.start()
-    for d in dmas:
-        d.wait()
+        dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
+                for i, w in enumerate(wins)]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
-    g = patches_ref[0]
-    lo = params_ref[0, c]
-    scr[0] = scr[0] + g
-    scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
-    for ch in range(3):
-        scr[2 + ch] = scr[2 + ch] + g * params_ref[1 + ch, c]
+        g = patches_ref[0]
+        lo = params_ref[0, c]
+        scr[0] = scr[0] + g
+        scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
+        for ch in range(3):
+            scr[2 + ch] = scr[2 + ch] + g * params_ref[1 + ch, c]
 
-    dmas = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
-            for i, w in enumerate(wins)]
-    for d in dmas:
-        d.start()
-    # Must complete before the next drop's reads (windows may overlap).
-    for d in dmas:
-        d.wait()
+        dmas = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
+                for i, w in enumerate(wins)]
+        for d in dmas:
+            d.start()
+        # Complete before the next drop's reads (windows may overlap).
+        for d in dmas:
+            d.wait()
 
 
 SUBLANE = 8
@@ -121,6 +126,7 @@ def scatter_bucket_pallas(patches: jnp.ndarray,   # (C, PH, PW) f32
                           lo: jnp.ndarray,        # (C,)
                           add_rgb: jnp.ndarray,   # (C, 3)
                           fields,                 # 5-tuple of (HP, WP) f32
+                          n_valid=None,           # (1,) int32
                           interpret: bool = False):
     """Accumulate one bucket's drops into the padded field planes
     (alpha, log_att, add_r, add_g, add_b) — all plain 2-D arrays so
@@ -132,9 +138,11 @@ def scatter_bucket_pallas(patches: jnp.ndarray,   # (C, PH, PW) f32
     c, ph, pw = patches.shape
     hp, wp = fields[0].shape
     params = jnp.concatenate([lo[None, :], add_rgb.T], axis=0)  # (4, C)
+    if n_valid is None:
+        n_valid = jnp.full((1,), c, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(c,),
         in_specs=[
             pl.BlockSpec((1, ph, pw), lambda i, *_: (i, 0, 0),
@@ -151,14 +159,15 @@ def scatter_bucket_pallas(patches: jnp.ndarray,   # (C, PH, PW) f32
         _kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32)] * 5,
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(anchor[:, 0], anchor[:, 1], params, patches, *fields)
+    )(n_valid, anchor[:, 0], anchor[:, 1], params, patches, *fields)
     return tuple(out)
 
 
-def _kernel_batched(ax_ref,          # SMEM (B*C,) int32
+def _kernel_batched(n_ref,           # SMEM (B,) int32 — valid drops/frame
+                    ax_ref,          # SMEM (B*C,) int32
                     ay_ref,          # SMEM (B*C,) int32
                     params_ref,      # SMEM (4, B*C) f32
                     patches_ref,     # VMEM block (1, 1, PH, PW)
@@ -175,33 +184,36 @@ def _kernel_batched(ax_ref,          # SMEM (B*C,) int32
     ax = pl.multiple_of(ax_ref[fi], 128)
     ay = pl.multiple_of(ay_ref[fi], 8)
 
-    outs = (alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref)
-    wins = [o.at[b, pl.ds(ay, ph), pl.ds(ax, pw)] for o in outs]
+    @pl.when(c < n_ref[b])
+    def _():
+        outs = (alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref)
+        wins = [o.at[b, pl.ds(ay, ph), pl.ds(ax, pw)] for o in outs]
 
-    dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
-            for i, w in enumerate(wins)]
-    for d in dmas:
-        d.start()
-    for d in dmas:
-        d.wait()
+        dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
+                for i, w in enumerate(wins)]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
-    g = patches_ref[0, 0]
-    lo = params_ref[0, fi]
-    scr[0] = scr[0] + g
-    scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
-    for ch in range(3):
-        scr[2 + ch] = scr[2 + ch] + g * params_ref[1 + ch, fi]
+        g = patches_ref[0, 0]
+        lo = params_ref[0, fi]
+        scr[0] = scr[0] + g
+        scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
+        for ch in range(3):
+            scr[2 + ch] = scr[2 + ch] + g * params_ref[1 + ch, fi]
 
-    dmas = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
-            for i, w in enumerate(wins)]
-    for d in dmas:
-        d.start()
-    for d in dmas:
-        d.wait()
+        dmas = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
+                for i, w in enumerate(wins)]
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def scatter_bucket_pallas_batched(patches, anchor, lo, add_rgb, fields,
+                                  n_valid=None,    # (B,) int32
                                   interpret: bool = False):
     """Batched bucket scatter: patches (B, C, PH, PW), anchor (B, C, 2),
     lo (B, C), add_rgb (B, C, 3), fields = 5 x (B, HP, WP)."""
@@ -209,11 +221,13 @@ def scatter_bucket_pallas_batched(patches, anchor, lo, add_rgb, fields,
     patches, anchor = jax.vmap(_tile_align_patches)(patches, anchor)
     ph, pw = patches.shape[2:]
     hp, wp = fields[0].shape[1:]
+    if n_valid is None:
+        n_valid = jnp.full((bsz,), c, jnp.int32)
     params = jnp.concatenate(
         [lo.reshape(1, -1), add_rgb.reshape(-1, 3).T], axis=0)  # (4, B*C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(bsz, c),
         in_specs=[
             pl.BlockSpec((1, 1, ph, pw), lambda b, i, *_: (b, i, 0, 0),
@@ -229,11 +243,11 @@ def scatter_bucket_pallas_batched(patches, anchor, lo, add_rgb, fields,
         _kernel_batched,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32)] * 5,
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3, 9: 4},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(anchor[..., 0].reshape(-1), anchor[..., 1].reshape(-1), params,
-      patches, *fields)
+    )(n_valid, anchor[..., 0].reshape(-1), anchor[..., 1].reshape(-1),
+      params, patches, *fields)
     return tuple(out)
 
 
@@ -257,8 +271,11 @@ def composite_drops_pallas_batched(image_hw, buckets, lo_all, add_rgb_all,
         take = jax.vmap(lambda l, a, i, v: (
             jnp.where(v, l[i], 0.0), jnp.where(v[:, None], a[i], 0.0)))
         lo, add = take(lo_all, add_rgb_all, b.drop_idx, b.valid)
+        # Valid drops are compacted to the front of each bucket.
+        n_valid = jnp.sum(b.valid.astype(jnp.int32), axis=1)
         fields = scatter_bucket_pallas_batched(
-            b.patches, b.anchor, lo, add, fields, interpret=interpret)
+            b.patches, b.anchor, lo, add, fields, n_valid,
+            interpret=interpret)
 
     alpha, log_att, ar, ag, ab = fields
     additive = jnp.stack([ar[:, :h, :w], ag[:, :h, :w], ab[:, :h, :w]],
@@ -288,8 +305,10 @@ def composite_drops_pallas(image_hw, buckets, lo_all, add_rgb_all,
     for b in buckets:
         lo = jnp.where(b.valid, lo_all[b.drop_idx], 0.0)
         add = jnp.where(b.valid[:, None], add_rgb_all[b.drop_idx], 0.0)
+        n_valid = jnp.sum(b.valid.astype(jnp.int32))[None]
         fields = scatter_bucket_pallas(b.patches, b.anchor, lo, add,
-                                       fields, interpret=interpret)
+                                       fields, n_valid,
+                                       interpret=interpret)
 
     alpha, log_att, ar, ag, ab = fields
     additive = jnp.stack([ar[:h, :w], ag[:h, :w], ab[:h, :w]], axis=-1)

@@ -64,7 +64,10 @@ class RasterConfig:
 
     @staticmethod
     def default(capacity: int) -> "RasterConfig":
+        # Smallest bucket first: the typical drop is a few px wide and
+        # tens of px long, and composite cost scales with window area.
         return RasterConfig(buckets=(
+            BucketSpec(40, 32, 5, capacity),
             BucketSpec(96, 64, 12, capacity),
             BucketSpec(320, 192, 32, max(64, capacity // 4)),
             BucketSpec(704, 384, 48, max(32, capacity // 16)),
