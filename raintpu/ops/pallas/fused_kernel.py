@@ -1,0 +1,223 @@
+"""Fused Pallas kernel: analytic streak rasterization + composite RMW.
+
+The two-stage hot path (XLA rasterizes patches for every capacity slot,
+then the composite kernel scatters them) wastes work three ways: invalid
+slots are rasterized anyway (dense XLA), patches round-trip through HBM,
+and the composite's window DMAs idle the VPU. This kernel fuses both
+stages: per (frame, drop) grid step it
+
+  1. starts the 5 field-window read DMAs,
+  2. evaluates the drop's gray patch *in-kernel* directly over the
+     tile-aligned window grid — inverse homography, damped DCT cosine
+     series (Chebyshev recurrence), erf content window — pure VPU work
+     that hides the DMA latency,
+  3. accumulates alpha / log-attenuation / additive and writes back.
+
+Invalid (padded) slots skip everything via the valid-count gate, so the
+cost scales with *actual* drops, not bucket capacity.
+
+Per-drop parameters arrive as SMEM scalar-prefetch rows (19, B*C) —
+row-major because SMEM pads the trailing axis — and the per-drop damped
+DCT coefficients as lane-padded VMEM blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG_EPS = 1e-6
+SUBLANE = 8
+LANE = 128
+
+# VMEM working-set budget per window slab: the kernel body keeps ~25
+# (TILE_H, PW2) f32 buffers live, so slab area is capped and tall
+# windows are processed in row tiles.
+MAX_SLAB_AREA = 80_000
+
+
+def plan_window(ph: int, pw: int):
+    """Tile-aligned window plan for a bucket: (ph2, pw2, tile_h, n_tiles).
+    ph2 = n_tiles * tile_h (8-aligned); pw2 lane-aligned."""
+    ph2 = -(-(ph + SUBLANE) // SUBLANE) * SUBLANE
+    pw2 = -(-(pw + LANE) // LANE) * LANE
+    n_tiles = max(1, -(-(ph2 * pw2) // MAX_SLAB_AREA))
+    tile_h = -(-(-(-ph2 // n_tiles)) // SUBLANE) * SUBLANE
+    ph2 = n_tiles * tile_h
+    return ph2, pw2, tile_h, n_tiles
+
+# params row layout (19, B*C)
+P_M00, P_M01, P_M02, P_M10, P_M11, P_M12, P_M20, P_M21, P_M22 = range(9)
+P_MINCX, P_MINCY, P_WCX, P_WCY, P_SCX, P_SCY, P_LO = range(9, 16)
+P_ADDR, P_ADDG, P_ADDB = range(16, 19)
+N_PARAMS = 19
+
+
+def _erf(x):
+    # Pallas TPU has no erf lowering; tanh approximation shared with the
+    # XLA path (see ops.rasterize.tanh_erf).
+    x3 = x * x * x
+    return jnp.tanh(1.1283791671 * x + 0.1009055155 * x3)
+
+
+def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
+                 th: int, tw: int, n_tiles: int):
+    def kernel(n_ref, ax_ref, ay_ref, prm_ref,
+               ayc_ref,           # VMEM block (1, 1, R, MYP)
+               bxc_ref,           # VMEM block (1, 1, R, MXP)
+               a_in, l_in, r_in, g_in, b_in,
+               alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref,
+               scr, sems):
+        del a_in, l_in, r_in, g_in, b_in
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        fi = b * pl.num_programs(1) + c
+        tile_h, pw2 = scr.shape[1], scr.shape[2]
+
+        @pl.when(c < n_ref[b])
+        def _():
+          for t in range(n_tiles):   # row tiles cap the VMEM working set
+            ax = pl.multiple_of(ax_ref[fi], 128)
+            ay = pl.multiple_of(ay_ref[fi], 8) + t * tile_h
+            outs = (alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref)
+            wins = [o.at[b, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
+                    for o in outs]
+            dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
+                    for i, w in enumerate(wins)]
+            for d in dmas:
+                d.start()
+
+            # ---- evaluate the patch over the window grid (VPU) ----
+            ii = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, pw2), 0).astype(jnp.float32)
+            jj = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h, pw2), 1).astype(jnp.float32)
+            lx = jj + (ax.astype(jnp.float32) - prm_ref[P_MINCX, fi])
+            ly = ii + (ay.astype(jnp.float32) - prm_ref[P_MINCY, fi])
+
+            hx = (prm_ref[P_M00, fi] * lx + prm_ref[P_M01, fi] * ly
+                  + prm_ref[P_M02, fi])
+            hy = (prm_ref[P_M10, fi] * lx + prm_ref[P_M11, fi] * ly
+                  + prm_ref[P_M12, fi])
+            hz = (prm_ref[P_M20, fi] * lx + prm_ref[P_M21, fi] * ly
+                  + prm_ref[P_M22, fi])
+            hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
+            inv_hz = 1.0 / hz
+            xhat = (hx * inv_hz + 0.5) * (1.0 / tw)
+            yhat = (hy * inv_hz + 0.5) * (1.0 / th)
+
+            # Damped DCT series via Chebyshev recurrence, rank by rank.
+            ty = jnp.cos(jnp.pi * yhat)
+            tx = jnp.cos(jnp.pi * xhat)
+            g = jnp.zeros((tile_h, pw2), jnp.float32)
+            for r in range(r_ranks):
+                uy = jnp.full((tile_h, pw2), ayc_ref[0, 0, r, 0])
+                cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
+                cm = ty
+                for m in range(1, modes_y):
+                    uy = uy + ayc_ref[0, 0, r, m] * cm
+                    cm, cm_prev = 2.0 * ty * cm - cm_prev, cm
+                vx = jnp.full((tile_h, pw2), bxc_ref[0, 0, r, 0])
+                cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
+                cm = tx
+                for m in range(1, modes_x):
+                    vx = vx + bxc_ref[0, 0, r, m] * cm
+                    cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
+                g = g + uy * vx
+
+            # erf soft window (blurred content box) + mirror bound.
+            sqrt2 = 1.4142135
+            scx = jnp.maximum(prm_ref[P_SCX, fi], 1e-3)
+            scy = jnp.maximum(prm_ref[P_SCY, fi], 1e-3)
+            wcx = prm_ref[P_WCX, fi]
+            wcy = prm_ref[P_WCY, fi]
+            win = (0.5 * (_erf((lx + 0.5) / (sqrt2 * scx))
+                          - _erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
+                   * 0.5 * (_erf((ly + 0.5) / (sqrt2 * scy))
+                            - _erf((ly - (wcy - 0.5)) / (sqrt2 * scy))))
+            win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
+                            & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+            g = jnp.clip(g, 0.0, 1.0) * win
+
+            # ---- accumulate + write back ----
+            for d in dmas:
+                d.wait()
+            lo = prm_ref[P_LO, fi]
+            scr[0] = scr[0] + g
+            scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
+            scr[2] = scr[2] + g * prm_ref[P_ADDR, fi]
+            scr[3] = scr[3] + g * prm_ref[P_ADDG, fi]
+            scr[4] = scr[4] + g * prm_ref[P_ADDB, fi]
+
+            dmas2 = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
+                     for i, w in enumerate(wins)]
+            for d in dmas2:
+                d.start()
+            for d in dmas2:
+                d.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window_hw", "tex_hw", "interpret"))
+def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
+                           anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
+                           ayc: jnp.ndarray,       # (B, C, R, My) damped
+                           bxc: jnp.ndarray,       # (B, C, R, Mx)
+                           n_valid: jnp.ndarray,   # (B,) int32
+                           fields,                 # 5 x (B, HP, WP) f32
+                           window_hw,              # static (PH2, PW2)
+                           tex_hw,                 # static (TH, TW)
+                           interpret: bool = False):
+    """Run the fused kernel for one bucket. Anchors are raw (pre-clip
+    [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
+    the kernel, so no patch pre-shifting is needed)."""
+    bsz, _, c = params.shape
+    r_ranks, modes_y = ayc.shape[2], ayc.shape[3]
+    modes_x = bxc.shape[3]
+    ph2, pw2, tile_h, n_tiles = window_hw
+    hp, wp = fields[0].shape[1:]
+
+    ax = (anchor[..., 0] // LANE) * LANE
+    ay = (anchor[..., 1] // SUBLANE) * SUBLANE
+
+    # Lane-pad the mode axes so VMEM blocks are tileable.
+    myp = -(-modes_y // LANE) * LANE
+    mxp = -(-modes_x // LANE) * LANE
+    ayc_p = jnp.pad(ayc, ((0, 0), (0, 0), (0, 0), (0, myp - modes_y)))
+    bxc_p = jnp.pad(bxc, ((0, 0), (0, 0), (0, 0), (0, mxp - modes_x)))
+    prm = params.transpose(1, 0, 2).reshape(N_PARAMS, bsz * c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bsz, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, r_ranks, myp),
+                         lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_ranks, mxp),
+                         lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((5, tile_h, pw2), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0], tex_hw[1],
+                     n_tiles),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32)] * 5,
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1), prm,
+      ayc_p, bxc_p, *fields)
+    return tuple(out)

@@ -38,14 +38,33 @@ from raintpu.particles.schema import TYPE_BIG, DropBatch
 WARP_EPS = 0.001  # reference epsilon against singular homographies (:315)
 
 
+def tanh_erf(x):
+    """tanh-based erf approximation (max abs err ~3e-3).
+
+    Used for the blurred-box content window in both the XLA and Pallas
+    fourier rasterizers — Pallas TPU has no erf lowering, and using the
+    same approximation everywhere keeps the paths bit-consistent. The
+    window is a modeling choice, so ~1e-3 accuracy is immaterial.
+    """
+    x3 = x * x * x
+    return jnp.tanh(1.1283791671 * x + 0.1009055155 * x3)
+
+
 @dataclasses.dataclass(frozen=True)
 class BucketSpec:
-    """One patch-size class. radius = max blur kernel radius (and margin)."""
+    """One patch-size class. radius = max blur kernel radius (and margin).
+
+    modes_y/modes_x truncate the DCT series for this bucket (0 = all):
+    buckets whose drops are heavily downscaled or defocused have their
+    high modes damped to ~0 anyway, so evaluating them is wasted VPU
+    work (cost scales linearly with mode count)."""
 
     ph: int
     pw: int
     radius: int
     capacity: int
+    modes_y: int = 0
+    modes_x: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,10 +86,10 @@ class RasterConfig:
         # Smallest bucket first: the typical drop is a few px wide and
         # tens of px long, and composite cost scales with window area.
         return RasterConfig(buckets=(
-            BucketSpec(40, 32, 5, capacity),
-            BucketSpec(96, 64, 12, capacity),
-            BucketSpec(320, 192, 32, max(64, capacity // 4)),
-            BucketSpec(704, 384, 48, max(32, capacity // 16)),
+            BucketSpec(40, 32, 5, capacity, 16, 8),
+            BucketSpec(96, 64, 12, capacity, 24, 10),
+            BucketSpec(320, 192, 32, max(32, capacity // 8), 16, 8),
+            BucketSpec(704, 384, 48, max(16, capacity // 32), 12, 6),
         ))
 
 
@@ -430,31 +449,31 @@ def _raster_bucket_gather(b: BucketSpec, supersample, textures, t_sel,
     return jnp.clip(g / (s * s), 0.0, 1.0)
 
 
-def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
-                           offx, offy, sigma, tex_hw,
-                           apply_defocus: bool) -> jnp.ndarray:
-    """Analytic rasterization from the separable DCT streak bank.
+def fourier_drop_coefficients(b: BucketSpec, fourier, t_sel, m_sel,
+                              wh_c, sigma, tex_hw, apply_defocus: bool):
+    """Per-drop damped DCT coefficients + patch-space window sigmas.
 
-    No gathers: per-drop texture coefficients come via a one-hot matmul
-    (MXU), defocus blur (sigma rows, sigma/2 cols in patch space,
-    bad_weather.py:291) and pixel-footprint antialiasing become
-    per-mode Gaussian damping through the map's Jacobian, and the patch
-    is one cosine-series evaluation per pixel (VPU).
+    Per-drop texture coefficients come via a one-hot matmul (MXU, no
+    gather); defocus blur (sigma rows, sigma/2 cols in patch space —
+    bad_weather.py:291) and pixel-footprint antialiasing (INTER_AREA
+    equivalent, box variance J^2/12) become per-mode Gaussian damping
+    through the warp Jacobian. Returns (ayc (C,R,My), bxc (C,R,Mx),
+    s_rows (C,), s_cols (C,)).
     """
     ay, bx = fourier
+    if b.modes_y:
+        ay = ay[:, :, :b.modes_y]
+    if b.modes_x:
+        bx = bx[:, :, :b.modes_x]
     k, r_, m_modes = ay.shape
     n_modes = bx.shape[2]
     th, tw = tex_hw
 
-    # Per-drop rank coefficients: one-hot matmul instead of gather.
     onehot = (t_sel[:, None] ==
               jnp.arange(k, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     ayc = (onehot @ ay.reshape(k, r_ * m_modes)).reshape(-1, r_, m_modes)
     bxc = (onehot @ bx.reshape(k, r_ * n_modes)).reshape(-1, r_, n_modes)
 
-    # Texture-space blur sigmas through the Jacobian at content center:
-    # patch-space defocus is (sigma rows, sigma/2 cols); the pixel
-    # footprint adds box variance J^2/12 (INTER_AREA equivalent).
     jac = _tex_jacobian(m_sel, wh_c)                    # (C, 2, 2)
     s_rows = sigma if apply_defocus else jnp.zeros_like(sigma)
     s_cols = s_rows / 2.0
@@ -466,6 +485,20 @@ def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
     sig_yhat = jnp.sqrt(var_ty) / th
     ayc = ayc * _mode_damping(sig_yhat, m_modes)[:, None, :]
     bxc = bxc * _mode_damping(sig_xhat, n_modes)[:, None, :]
+    return ayc, bxc, s_rows, s_cols
+
+
+def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
+                           offx, offy, sigma, tex_hw,
+                           apply_defocus: bool) -> jnp.ndarray:
+    """Analytic rasterization from the separable DCT streak bank.
+
+    No gathers — the patch is one cosine-series evaluation per pixel
+    (VPU); see :func:`fourier_drop_coefficients` for the damping.
+    """
+    th, tw = tex_hw
+    ayc, bxc, s_rows, s_cols = fourier_drop_coefficients(
+        b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw, apply_defocus)
 
     lx, ly, tx, ty = _patch_tex_coords(b.ph, b.pw, m_sel, offx, offy)
     xhat = (tx + 0.5) / tw
@@ -477,7 +510,7 @@ def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
     # blurred box is a pair of erfs, which gives the soft spilled edge
     # without the even-periodic basis mirroring whole streaks into the
     # margins (which would inflate energy several-fold).
-    from jax.scipy.special import erf
+    erf = tanh_erf
 
     sqrt2 = 1.4142135
     scx = jnp.maximum(s_cols, 1e-3)[:, None, None]
@@ -496,9 +529,80 @@ def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
     uy = _eval_dct_rank_series(ayc, yhat)
     vx = _eval_dct_rank_series(bxc, xhat)
     g = uy[0] * vx[0]
-    for r in range(1, r_):
+    for r in range(1, ayc.shape[1]):
         g = g + uy[r] * vx[r]
     return jnp.clip(g, 0.0, 1.0) * win
+
+
+def _route_buckets(drops: DropBatch, geom: DropGeometry,
+                   cfg: RasterConfig):
+    """Assign every drop to the first bucket it fits (blur spill
+    included); the last bucket takes the remainder (clipped)."""
+    n = drops.ip1.shape[0]
+    spill = jnp.floor(4.0 * geom.sigma + 0.5).astype(jnp.int32)
+    need_w = geom.content_wh[:, 0] + 2.0 * spill.astype(jnp.float32)
+    need_h = geom.content_wh[:, 1] + 2.0 * spill.astype(jnp.float32)
+    fits = []
+    for b in cfg.buckets:
+        fits.append((need_w <= b.pw) & (need_h <= b.ph)
+                    & (geom.sigma * 4.0 <= b.radius))
+    bucket_id = jnp.full((n,), len(cfg.buckets) - 1, jnp.int32)
+    for bi in range(len(cfg.buckets) - 2, -1, -1):
+        bucket_id = jnp.where(fits[bi], bi, bucket_id)
+    return bucket_id
+
+
+def raster_params_frame(drops: DropBatch,
+                        geom: DropGeometry,
+                        tex_hw,
+                        tex_idx: jnp.ndarray,
+                        image_wh,
+                        cfg: RasterConfig,
+                        apply_defocus: bool,
+                        fourier):
+    """Per-bucket parameter tensors for the fused Pallas kernel
+    (ops/pallas/fused_kernel): geometry rows of the (19, C) param
+    matrix (blend rows stay zero for the caller to fill), raw anchors,
+    damped DCT coefficients, validity. No patch is materialized.
+    """
+    w_img, h_img = image_wh
+    bucket_id = _route_buckets(drops, geom, cfg)
+
+    out = []
+    for bi, b in enumerate(cfg.buckets):
+        mask = drops.valid & (bucket_id == bi)
+        idx, sel_valid, overflow = _compact(mask, b.capacity)
+
+        m_sel = geom.M[idx]
+        minc = geom.min_c[idx]
+        sigma = jnp.minimum(geom.sigma[idx], b.radius / 4.0)
+        shift = jnp.minimum(geom.shift[idx], b.radius)
+        wh_c = geom.content_wh[idx]
+        t_sel = tex_idx[idx]
+
+        a = minc - shift[:, None].astype(minc.dtype)
+        ax = jnp.clip(a[:, 0], 0.0, float(w_img)).astype(jnp.int32)
+        ay = jnp.clip(a[:, 1], 0.0, float(h_img)).astype(jnp.int32)
+
+        ayc, bxc, s_rows, s_cols = fourier_drop_coefficients(
+            b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw, apply_defocus)
+        # Zero coefficients of invalid slots (cheap belt + braces on top
+        # of the kernel's count gate).
+        ayc = jnp.where(sel_valid[:, None, None], ayc, 0.0)
+
+        m = m_sel.reshape(-1, 9)
+        zeros = jnp.zeros_like(s_rows)
+        params = jnp.stack([
+            m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4], m[:, 5],
+            m[:, 6], m[:, 7], m[:, 8],
+            minc[:, 0], minc[:, 1], wh_c[:, 0], wh_c[:, 1],
+            s_cols, s_rows, zeros, zeros, zeros, zeros,
+        ], axis=0)                                       # (19, C)
+        out.append(dict(params=params,
+                        anchor=jnp.stack([ax, ay], -1),
+                        ayc=ayc, bxc=bxc, drop_idx=idx,
+                        valid=sel_valid, overflow=overflow))
+    return out
 
 
 def rasterize_frame_drops(drops: DropBatch,
@@ -517,21 +621,7 @@ def rasterize_frame_drops(drops: DropBatch,
     Returns one RasterBucket per cfg.buckets entry.
     """
     w_img, h_img = image_wh
-    n = drops.ip1.shape[0]
-
-    # Per-drop requirements for bucket routing.
-    spill = jnp.floor(4.0 * geom.sigma + 0.5).astype(jnp.int32)
-    need_w = geom.content_wh[:, 0] + 2.0 * spill.astype(jnp.float32)
-    need_h = geom.content_wh[:, 1] + 2.0 * spill.astype(jnp.float32)
-
-    fits = []
-    for b in cfg.buckets:
-        fits.append((need_w <= b.pw) & (need_h <= b.ph)
-                    & (geom.sigma * 4.0 <= b.radius))
-    # Bucket = first fitting; last bucket takes everything left (clipped).
-    bucket_id = jnp.full((n,), len(cfg.buckets) - 1, jnp.int32)
-    for bi in range(len(cfg.buckets) - 2, -1, -1):
-        bucket_id = jnp.where(fits[bi], bi, bucket_id)
+    bucket_id = _route_buckets(drops, geom, cfg)
 
     out = []
     for bi, b in enumerate(cfg.buckets):

@@ -97,16 +97,17 @@ def _build_sharded(mesh: Mesh, cfg: PipelineConfig):
         n_local = drops_l.ip1.shape[1]
 
         def one(b, d, dr, k):
-            fogged, env_rgb = frame_mod.frame_background(b, d, cfg)
+            fogged, env_photo, env_save = frame_mod.frame_background(
+                b, d, cfg)
             # Per-drop RNG keyed by global drop index -> results are
             # bit-identical for any sp layout.
             fields, overflow = frame_mod.drop_fields(
-                env_rgb, dr, tex, edges, k, cfg,
+                env_photo, dr, tex, edges, k, cfg,
                 drop_offset=sp_idx * n_local)
             fields = jax.tree.map(
                 lambda x: jax.lax.psum(x, "sp"), fields)
             overflow = jax.lax.psum(overflow, "sp")
-            return frame_mod.finalize_frame(b, fogged, fields, env_rgb,
+            return frame_mod.finalize_frame(b, fogged, fields, env_save,
                                             overflow, cfg)
 
         return jax.vmap(one)(bg_l, depth_l, drops_l, keys_l)

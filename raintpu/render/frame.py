@@ -48,17 +48,21 @@ class PipelineConfig:
     env_downsample: int = 4
     save_envmap: bool = False
     compute_saturation_mask: bool = False
-    # Field accumulation backend: "auto" = Pallas RMW kernel on TPU,
-    # XLA scatter elsewhere; or force "pallas" / "xla".
+    # Field accumulation backend:
+    #   "auto"   -> "fused" on TPU, "xla" elsewhere
+    #   "fused"  -> single Pallas kernel rasterizes + composites
+    #   "pallas" -> XLA raster + Pallas composite kernel
+    #   "xla"    -> XLA raster + XLA scatter (golden/CPU path)
     composite_mode: str = "auto"
 
-    def use_pallas(self) -> bool:
-        if self.composite_mode == "pallas":
-            return True
-        if self.composite_mode == "xla":
-            return False
+    def resolved_composite_mode(self) -> str:
+        if self.composite_mode != "auto":
+            return self.composite_mode
         import jax
-        return jax.default_backend() == "tpu"
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+
+    def use_pallas(self) -> bool:
+        return self.resolved_composite_mode() in ("pallas", "fused")
 
     @property
     def image_wh(self) -> Tuple[int, int]:
@@ -83,9 +87,13 @@ class FrameOutput:
 
 
 def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
-                     cfg: PipelineConfig):
+                     cfg: PipelineConfig,
+                     pano: Optional[jnp.ndarray] = None):
     """Per-frame drop-independent stage: fog + envmap.
 
+    ``pano``: externally captured panorama for env_type='pano'
+    (reference generator.py:401-403) — used as the environment map
+    instead of the single-image extrapolation.
     Returns (fogged, env_rgb) — env_rgb is None unless needed.
     """
     st = cfg.settings
@@ -98,11 +106,36 @@ def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
         rain_intensity=cfg.fallrate, f_number=cam.f_number,
         exposure_s=cam.exposure_s, camera_gain=cam.gain)
 
-    env_rgb = None
-    if physics or cfg.save_envmap:
-        geom = envmap_ops.envmap_geometry(h, w, cam.focal)
-        env_rgb = envmap_ops.generate_envmap(fogged, geom)
-    return fogged, env_rgb
+    # Photometry needs the envmap only at env_downsample resolution
+    # (the drop-cone averages integrate over most of the sphere); the
+    # full-resolution map is generated only for --save_envmap. This
+    # cuts the gather (TPU-hostile) by downsample^2.
+    ds = max(int(cfg.env_downsample), 1)
+    env_photo = None
+    env_save = None
+    if st.env_type == "pano" and (physics or cfg.save_envmap):
+        if pano is None:
+            raise ValueError("env_type='pano' requires a panorama input")
+        env_save = pano.astype(jnp.float32)
+        env_photo = _avg_pool_rgb(env_save, ds) if physics else None
+    elif physics or cfg.save_envmap:
+        if physics:
+            pooled = _avg_pool_rgb(fogged, ds)
+            geom_lo = envmap_ops.envmap_geometry(h // ds, w // ds,
+                                                 cam.focal)
+            env_photo = envmap_ops.generate_envmap(pooled, geom_lo)
+        if cfg.save_envmap:
+            geom = envmap_ops.envmap_geometry(h, w, cam.focal)
+            env_save = envmap_ops.generate_envmap(fogged, geom)
+    return fogged, env_photo, env_save
+
+
+def _avg_pool_rgb(img: jnp.ndarray, ds: int) -> jnp.ndarray:
+    if ds <= 1:
+        return img
+    h, w, c = img.shape
+    hq, wq = (h // ds) * ds, (w // ds) * ds
+    return img[:hq, :wq].reshape(h // ds, ds, w // ds, ds, c).mean((1, 3))
 
 
 def drop_patches(env_rgb, drops: DropBatch, textures,
@@ -132,7 +165,9 @@ def drop_patches(env_rgb, drops: DropBatch, textures,
         textures = textures.raw
 
     if physics:
-        env = photometry_ops.env_features(env_rgb, cfg.env_downsample)
+        # env_rgb arrives already at photometry resolution
+        # (frame_background pools by cfg.env_downsample).
+        env = photometry_ops.env_features(env_rgb, downsample=1)
         mid = (drops.wp1 + drops.wp2) / 2.0
         gains = photometry_ops.drop_colors(
             mid, env, sphere_radius=st.sphere_radius,
@@ -199,7 +234,8 @@ def render_frame(bg: jnp.ndarray,
                  textures: jnp.ndarray,
                  bin_edges: jnp.ndarray,
                  key: jax.Array,
-                 cfg: PipelineConfig) -> FrameOutput:
+                 cfg: PipelineConfig,
+                 pano: Optional[jnp.ndarray] = None) -> FrameOutput:
     """Render rain onto one frame.
 
     bg: (H, W, 3) RGB float in [0, 1] (already at render scale; the
@@ -207,17 +243,138 @@ def render_frame(bg: jnp.ndarray,
     depth: (H, W) metric depth (meters).
     key: per-frame PRNG key — the determinism analogue of the
     reference's ``np.random.seed(frame_idx)`` (generator.py:318).
+    pano: optional captured panorama for env_type='pano'.
     """
-    fogged, env_rgb = frame_background(bg, depth, cfg)
-    fields, overflow = drop_fields(env_rgb, drops, textures, bin_edges,
+    fogged, env_photo, env_save = frame_background(bg, depth, cfg, pano)
+    fields, overflow = drop_fields(env_photo, drops, textures, bin_edges,
                                    key, cfg)
-    return finalize_frame(bg, fogged, fields, env_rgb, overflow, cfg)
+    return finalize_frame(bg, fogged, fields, env_save, overflow, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame_jit(bg, depth, drops, textures, bin_edges, key,
                      cfg: PipelineConfig) -> FrameOutput:
     return render_frame(bg, depth, drops, textures, bin_edges, key, cfg)
+
+
+def drop_fused_params(env_rgb, drops: DropBatch, textures,
+                      bin_edges, key: jax.Array, cfg: PipelineConfig,
+                      drop_offset=0):
+    """Per-frame parameter prep for the fused raster+composite kernel:
+    photometry gains, texture pick, geometry, damped DCT coefficients —
+    but NO patch evaluation (that happens inside the kernel).
+
+    Returns (bucket param dicts with blend rows filled, overflow).
+    """
+    st = cfg.settings
+    cam = st.camera
+    strategy = st.rendering_strategy
+    physics = strategy is None
+    n = drops.ip1.shape[0]
+
+    fourier = (textures.ay, textures.bx)
+    tex_hw = textures.raw.shape[1:]
+
+    if physics:
+        env = photometry_ops.env_features(env_rgb, downsample=1)
+        mid = (drops.wp1 + drops.wp2) / 2.0
+        gains = photometry_ops.drop_colors(
+            mid, env, sphere_radius=st.sphere_radius,
+            fov_deg=st.drop_fov_deg, irrad_type=st.irrad_type)
+    else:
+        gains = jnp.ones((n, 3), jnp.float32)
+
+    k_tex, k_noise = jax.random.split(key)
+    tex_idx = raster_ops.select_textures(drops, bin_edges, k_tex,
+                                         offset=drop_offset)
+    if st.noise_scale != 0.0 and st.noise_std != 0.0:
+        nkeys = raster_ops.per_drop_keys(k_noise, n, drop_offset)
+        noise_deg = (jax.vmap(lambda k: jax.random.normal(k, ()))(nkeys)
+                     * st.noise_std * st.noise_scale)
+    else:
+        noise_deg = jnp.zeros((n,), jnp.float32)
+
+    geom_d = raster_ops.drop_geometry(
+        drops, tex_hw, cfg.image_wh,
+        focal_m=cam.focal_m, f_number=cam.f_number,
+        focus_plane=st.focus_plane, coc_pixsize=cfg.raster.coc_pixsize,
+        apply_defocus=physics, noise_deg=noise_deg)
+
+    lo, add_scale = composite_ops.blend_coefficients(
+        drops.iw1, drops.iw2, drops.length,
+        exposure_s=cam.exposure_s,
+        opacity_attenuation=st.opacity_attenuation,
+        rendering_strategy=strategy)
+    add_rgb = gains * add_scale[:, None]
+
+    buckets = raster_ops.raster_params_frame(
+        drops, geom_d, tex_hw, tex_idx, cfg.image_wh, cfg.raster,
+        apply_defocus=physics, fourier=fourier)
+    from raintpu.ops.pallas.fused_kernel import (P_ADDB, P_ADDG, P_ADDR,
+                                                 P_LO)
+    for bk in buckets:
+        idx = bk["drop_idx"]
+        v = bk["valid"]
+        p = bk["params"]
+        p = p.at[P_LO].set(jnp.where(v, lo[idx], 0.0))
+        p = p.at[P_ADDR].set(jnp.where(v, add_rgb[idx, 0], 0.0))
+        p = p.at[P_ADDG].set(jnp.where(v, add_rgb[idx, 1], 0.0))
+        p = p.at[P_ADDB].set(jnp.where(v, add_rgb[idx, 2], 0.0))
+        bk["params"] = p
+    overflow = jnp.stack([bk["overflow"] for bk in buckets])
+    return buckets, overflow
+
+
+def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
+                         cfg: PipelineConfig,
+                         interpret: bool = False) -> FrameOutput:
+    """Batched render using the fused raster+composite Pallas kernel."""
+    from raintpu.ops.composite import FieldMaps
+    from raintpu.ops.pallas.fused_kernel import (LANE, SUBLANE,
+                                                 fused_raster_composite,
+                                                 plan_window)
+
+    def stage1(b, d, dr, k):
+        fogged, env_photo, env_save = frame_background(b, d, cfg)
+        buckets, overflow = drop_fused_params(
+            env_photo, dr, textures, bin_edges, k, cfg)
+        return fogged, env_save, buckets, overflow
+
+    fogged, env_save, buckets, overflow = jax.vmap(stage1)(
+        bg, depth, drops, keys)
+
+    h, w = cfg.image_hw
+    bspecs = cfg.raster.buckets
+    plans = [plan_window(b.ph, b.pw) for b in bspecs]
+    max_ph = max(p[0] for p in plans) + SUBLANE
+    max_pw = max(p[1] for p in plans) + LANE
+    hp = -(-(h + max_ph) // SUBLANE) * SUBLANE
+    wp = -(-(w + max_pw) // LANE) * LANE
+    bsz = bg.shape[0]
+    fields = tuple(jnp.zeros((bsz, hp, wp), jnp.float32)
+                   for _ in range(5))
+
+    tex_hw = textures.raw.shape[1:]
+    for plan, bk in zip(plans, buckets):
+        n_valid = jnp.sum(bk["valid"].astype(jnp.int32), axis=1)
+        fields = fused_raster_composite(
+            bk["params"], bk["anchor"], bk["ayc"], bk["bxc"], n_valid,
+            fields, window_hw=plan, tex_hw=tuple(tex_hw),
+            interpret=interpret)
+
+    alpha, log_att, ar, ag, ab = fields
+    additive = jnp.stack([ar[:, :h, :w], ag[:, :h, :w], ab[:, :h, :w]],
+                         axis=-1)
+    fmaps = FieldMaps(log_att=log_att[:, :h, :w], additive=additive,
+                      alpha=alpha[:, :h, :w])
+
+    if env_save is None:
+        return jax.vmap(
+            lambda b, fg, fl, ov: finalize_frame(b, fg, fl, None, ov,
+                                                 cfg))(
+            bg, fogged, fmaps, overflow)
+    return jax.vmap(lambda b, fg, fl, env, ov: finalize_frame(
+        b, fg, fl, env, ov, cfg))(bg, fogged, fmaps, env_save, overflow)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -233,22 +390,26 @@ def render_frames(bg: jnp.ndarray,
     On TPU the field accumulation runs in the batched Pallas RMW kernel
     (batch folded into the kernel grid); everything else is vmapped.
     """
-    if not cfg.use_pallas():
+    mode = cfg.resolved_composite_mode()
+    if mode == "xla":
         return jax.vmap(
             lambda b, d, dr, k: render_frame(b, d, dr, textures,
                                              bin_edges, k, cfg))(
             bg, depth, drops, keys)
+    if mode == "fused":
+        return _render_frames_fused(bg, depth, drops, textures,
+                                    bin_edges, keys, cfg)
 
     from raintpu.ops.pallas.composite_kernel import (
         composite_drops_pallas_batched)
 
     def stage1(b, d, dr, k):
-        fogged, env_rgb = frame_background(b, d, cfg)
+        fogged, env_photo, env_save = frame_background(b, d, cfg)
         buckets, lo, add_rgb, overflow = drop_patches(
-            env_rgb, dr, textures, bin_edges, k, cfg)
-        return fogged, env_rgb, buckets, lo, add_rgb, overflow
+            env_photo, dr, textures, bin_edges, k, cfg)
+        return fogged, env_save, buckets, lo, add_rgb, overflow
 
-    fogged, env_rgb, buckets, lo, add_rgb, overflow = jax.vmap(stage1)(
+    fogged, env_save, buckets, lo, add_rgb, overflow = jax.vmap(stage1)(
         bg, depth, drops, keys)
 
     fields = composite_drops_pallas_batched(
@@ -257,9 +418,9 @@ def render_frames(bg: jnp.ndarray,
     def stage2(b, fg, fl, env, ov):
         return finalize_frame(b, fg, fl, env, ov, cfg)
 
-    if env_rgb is None:
+    if env_save is None:
         return jax.vmap(
             lambda b, fg, fl, ov: finalize_frame(b, fg, fl, None, ov,
                                                  cfg))(
             bg, fogged, fields, overflow)
-    return jax.vmap(stage2)(bg, fogged, fields, env_rgb, overflow)
+    return jax.vmap(stage2)(bg, fogged, fields, env_save, overflow)

@@ -57,3 +57,41 @@ def test_render_frames_pallas_matches_xla():
                                np.asarray(out_x.rain_mask), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_p.rainy_image),
                                np.asarray(out_x.rainy_image), atol=1e-5)
+
+
+def test_render_frames_fused_matches_xla():
+    W, H, cap, B = 96, 48, 32, 2
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    sim = SimConfig(image_wh=(W, H), focal_px=(300.0, 300.0),
+                    exposure_s=2e-3, capacity=cap, z_max=5.0)
+    drops = simulate_frames(jax.random.PRNGKey(4), sim,
+                            jnp.full(B, 150.0), jnp.full(B, 5.0),
+                            jnp.full(B, 2e-3), jnp.ones(B))
+    rng = np.random.RandomState(1)
+    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(B, H, W) * 40 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    raster = RasterConfig(buckets=(BucketSpec(32, 24, 4, cap),
+                                   BucketSpec(64, 48, 8, 8)))
+    settings = RenderSettings(camera=CameraSettings(wh=(W, H),
+                                                    ccd_wh=(W, H)))
+    base = PipelineConfig(settings=settings, image_hw=(H, W),
+                          fallrate=150.0, raster=raster, env_downsample=8)
+
+    cfg_x = dataclasses.replace(base, composite_mode="xla")
+    out_x = render_frames(bg, depth, drops, bank, jnp.asarray(db.bin_edges),
+                          keys, cfg_x)
+
+    from raintpu.render.frame import _render_frames_fused
+    out_f = jax.jit(
+        lambda *a: _render_frames_fused(*a, base, interpret=True))(
+        bg, depth, drops, bank, jnp.asarray(db.bin_edges), keys)
+
+    mx = np.asarray(out_x.rain_mask)
+    mf = np.asarray(out_f.rain_mask)
+    assert np.all(np.isfinite(mf))
+    # Same formula over slightly different window grids: near-identical.
+    np.testing.assert_allclose(mf, mx, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f.rainy_image),
+                               np.asarray(out_x.rainy_image), atol=2e-4)
