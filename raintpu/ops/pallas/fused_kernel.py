@@ -16,9 +16,10 @@ stages: per (frame, drop) grid step it
 Invalid (padded) slots skip everything via the valid-count gate, so the
 cost scales with *actual* drops, not bucket capacity.
 
-Per-drop parameters arrive as SMEM scalar-prefetch rows (19, B*C) —
-row-major because SMEM pads the trailing axis — and the per-drop damped
-DCT coefficients as lane-padded VMEM blocks.
+Per-drop parameters and DCT coefficients arrive as lane-padded VMEM
+blocks (SMEM holds only the DMA anchor offsets + valid counts — SMEM is
+~1 MB and pads aggressively, so per-drop float payloads don't fit
+there at production batch x capacity).
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LOG_EPS = 1e-6
+ALPHA_CUTOFF = 2e-4   # see ops.rasterize.ALPHA_CUTOFF
 SUBLANE = 8
 LANE = 128
 
@@ -66,7 +68,8 @@ def _erf(x):
 
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
                  th: int, tw: int, n_tiles: int):
-    def kernel(n_ref, ax_ref, ay_ref, prm_ref,
+    def kernel(n_ref, ax_ref, ay_ref,
+               prm_ref,           # VMEM block (1, 1, 128) — param lane
                ayc_ref,           # VMEM block (1, 1, R, MYP)
                bxc_ref,           # VMEM block (1, 1, R, MXP)
                a_in, l_in, r_in, g_in, b_in,
@@ -77,6 +80,9 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
         c = pl.program_id(1)
         fi = b * pl.num_programs(1) + c
         tile_h, pw2 = scr.shape[1], scr.shape[2]
+
+        def prm(k):
+            return prm_ref[0, 0, 0, k]
 
         @pl.when(c < n_ref[b])
         def _():
@@ -96,15 +102,15 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
                 jnp.int32, (tile_h, pw2), 0).astype(jnp.float32)
             jj = jax.lax.broadcasted_iota(
                 jnp.int32, (tile_h, pw2), 1).astype(jnp.float32)
-            lx = jj + (ax.astype(jnp.float32) - prm_ref[P_MINCX, fi])
-            ly = ii + (ay.astype(jnp.float32) - prm_ref[P_MINCY, fi])
+            lx = jj + (ax.astype(jnp.float32) - prm(P_MINCX))
+            ly = ii + (ay.astype(jnp.float32) - prm(P_MINCY))
 
-            hx = (prm_ref[P_M00, fi] * lx + prm_ref[P_M01, fi] * ly
-                  + prm_ref[P_M02, fi])
-            hy = (prm_ref[P_M10, fi] * lx + prm_ref[P_M11, fi] * ly
-                  + prm_ref[P_M12, fi])
-            hz = (prm_ref[P_M20, fi] * lx + prm_ref[P_M21, fi] * ly
-                  + prm_ref[P_M22, fi])
+            hx = (prm(P_M00) * lx + prm(P_M01) * ly
+                  + prm(P_M02))
+            hy = (prm(P_M10) * lx + prm(P_M11) * ly
+                  + prm(P_M12))
+            hz = (prm(P_M20) * lx + prm(P_M21) * ly
+                  + prm(P_M22))
             hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
             inv_hz = 1.0 / hz
             xhat = (hx * inv_hz + 0.5) * (1.0 / tw)
@@ -131,10 +137,10 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 
             # erf soft window (blurred content box) + mirror bound.
             sqrt2 = 1.4142135
-            scx = jnp.maximum(prm_ref[P_SCX, fi], 1e-3)
-            scy = jnp.maximum(prm_ref[P_SCY, fi], 1e-3)
-            wcx = prm_ref[P_WCX, fi]
-            wcy = prm_ref[P_WCY, fi]
+            scx = jnp.maximum(prm(P_SCX), 1e-3)
+            scy = jnp.maximum(prm(P_SCY), 1e-3)
+            wcx = prm(P_WCX)
+            wcy = prm(P_WCY)
             win = (0.5 * (_erf((lx + 0.5) / (sqrt2 * scx))
                           - _erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
                    * 0.5 * (_erf((ly + 0.5) / (sqrt2 * scy))
@@ -142,16 +148,17 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
             win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
                             & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
             g = jnp.clip(g, 0.0, 1.0) * win
+            g = jnp.where(g > ALPHA_CUTOFF, g, 0.0)
 
             # ---- accumulate + write back ----
             for d in dmas:
                 d.wait()
-            lo = prm_ref[P_LO, fi]
+            lo = prm(P_LO)
             scr[0] = scr[0] + g
             scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
-            scr[2] = scr[2] + g * prm_ref[P_ADDR, fi]
-            scr[3] = scr[3] + g * prm_ref[P_ADDG, fi]
-            scr[4] = scr[4] + g * prm_ref[P_ADDB, fi]
+            scr[2] = scr[2] + g * prm(P_ADDR)
+            scr[3] = scr[3] + g * prm(P_ADDG)
+            scr[4] = scr[4] + g * prm(P_ADDB)
 
             dmas2 = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
                      for i, w in enumerate(wins)]
@@ -191,12 +198,17 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
     mxp = -(-modes_x // LANE) * LANE
     ayc_p = jnp.pad(ayc, ((0, 0), (0, 0), (0, 0), (0, myp - modes_y)))
     bxc_p = jnp.pad(bxc, ((0, 0), (0, 0), (0, 0), (0, mxp - modes_x)))
-    prm = params.transpose(1, 0, 2).reshape(N_PARAMS, bsz * c)
+    # (B, C, 1, LANE) param lane per drop, VMEM-blocked per grid step
+    # (the extra unit dim keeps the block's sublane dim == array dim).
+    prm = jnp.pad(params.transpose(0, 2, 1),
+                  ((0, 0), (0, 0), (0, LANE - N_PARAMS)))[:, :, None, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(bsz, c),
         in_specs=[
+            pl.BlockSpec((1, 1, 1, LANE), lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, r_ranks, myp),
                          lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -218,6 +230,6 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1), prm,
-      ayc_p, bxc_p, *fields)
+    )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1),
+      prm, ayc_p, bxc_p, *fields)
     return tuple(out)

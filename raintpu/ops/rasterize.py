@@ -37,6 +37,13 @@ from raintpu.particles.schema import TYPE_BIG, DropBatch
 
 WARP_EPS = 0.001  # reference epsilon against singular homographies (:315)
 
+# Alpha below this renders as exact 0 (< 0.06 of a uint8 level). The
+# reference's footprint is bounded by its truncated (4-sigma) blur
+# kernels; the analytic erf window has infinite tails, so without a
+# cutoff the rain-mask support is float dust and mask IoU vs the
+# reference is meaningless.
+ALPHA_CUTOFF = 2e-4
+
 
 def tanh_erf(x):
     """tanh-based erf approximation (max abs err ~3e-3).
@@ -531,7 +538,8 @@ def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
     g = uy[0] * vx[0]
     for r in range(1, ayc.shape[1]):
         g = g + uy[r] * vx[r]
-    return jnp.clip(g, 0.0, 1.0) * win
+    g = jnp.clip(g, 0.0, 1.0) * win
+    return jnp.where(g > ALPHA_CUTOFF, g, 0.0)
 
 
 def _route_buckets(drops: DropBatch, geom: DropGeometry,
