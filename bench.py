@@ -32,7 +32,7 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 32
+    BATCH = 64
     CAPACITY = 512
     FALLRATE = 10.0
 
@@ -59,20 +59,24 @@ def main():
 
     def step(keys):
         out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
-        return out.rainy_image, out.rain_mask
+        # Return a scalar: fetching it forces full completion (under the
+        # remote axon platform, block_until_ready returns before the
+        # device finishes, silently inflating throughput ~2-3x).
+        return (jnp.sum(out.rainy_image[:, ::97, ::97])
+                + jnp.sum(out.rain_mask[:, ::97, ::97]))
 
     step_jit = jax.jit(step)
 
     # Warmup/compile.
-    r, m = step_jit(keys)
-    jax.block_until_ready(r)
+    float(step_jit(keys))
 
     iters = 6
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(iters):
-        r, m = step_jit(keys)
-    jax.block_until_ready(r)
+        acc += float(step_jit(keys))
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
 
     imgs_per_sec = BATCH * iters / dt
     print(json.dumps({

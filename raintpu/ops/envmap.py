@@ -105,6 +105,13 @@ def _source_indices(geom: EnvmapGeometry, dtype=jnp.float32):
     return src_r, jnp.broadcast_to(src_c[None, :], src_r.shape), covered
 
 
+# Maps up to this many pixels use the one-hot matmul formulation (MXU)
+# instead of a gather (TPU gathers are slow and compile poorly). The
+# photometry map (downsampled) is always below this; the full-res
+# --save_envmap output uses the gather.
+MATMUL_MAX_PIXELS = 262_144
+
+
 def generate_envmap(background: jnp.ndarray,
                     geom: EnvmapGeometry) -> jnp.ndarray:
     """Image (H, W, 3) in [0,1] -> envmap (H, W_env, 3).
@@ -112,9 +119,36 @@ def generate_envmap(background: jnp.ndarray,
     Matches the reference pipeline output to visual tolerance (gather
     instead of scatter; no interior sparsity holes, no uint8 rounding).
     """
-    src_r, src_c, covered = _source_indices(geom, background.dtype)
-    env = background[src_r, src_c]                 # (H, W_env, 3) gather
+    if geom.height * geom.env_width <= MATMUL_MAX_PIXELS:
+        env, covered = _generate_matmul(background, geom)
+    else:
+        src_r, src_c, covered = _source_indices(geom, background.dtype)
+        env = background[src_r, src_c]             # (H, W_env, 3) gather
 
     kernel = cv2_gaussian_kernel(FEATHER_KSIZE, FEATHER_SIGMA)
     blurred = separable_blur(env, kernel)
     return jnp.where(covered[..., None], env, blurred)
+
+
+def _generate_matmul(background: jnp.ndarray, geom: EnvmapGeometry):
+    """Gather-free envmap: the inverse cylindrical map factorizes into a
+    column permutation (bg @ one-hot) followed by a per-column row
+    resample (batched one-hot matmul) — both MXU work.
+    """
+    src_r, src_c, covered = _source_indices(geom, background.dtype)
+    h, w = geom.height, geom.width
+    we = geom.env_width
+
+    # Column permutation: src_c is constant along rows.
+    cols = src_c[0]                                      # (W_env,)
+    col_onehot = (cols[None, :] ==
+                  jnp.arange(w)[:, None]).astype(background.dtype)
+    env1 = jnp.einsum("hwk,wc->hck", background, col_onehot,
+                      preferred_element_type=jnp.float32)  # (H, W_env, 3)
+
+    # Per-column row resample: out[r, c] = env1[src_r[r, c], c].
+    row_onehot = (src_r.T[:, :, None] ==
+                  jnp.arange(h)[None, None, :]).astype(background.dtype)
+    env = jnp.einsum("cor,rck->ock", row_onehot, env1,
+                     preferred_element_type=jnp.float32)   # (H, W_env, 3)
+    return env, covered

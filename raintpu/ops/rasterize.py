@@ -168,37 +168,37 @@ def _big_geometry(drops: DropBatch, tex_hw, image_wh):
     w_c = jnp.maximum(maxx - minx, 1.0)
     h_c = jnp.maximum(maxy - miny, 1.0)
 
-    # Destination quad in content coords (reference warping_points :317-327)
-    dst = jnp.stack([
-        jnp.stack([x0 - minx, y0 - miny], -1),
-        jnp.stack([x0 - minx + d0, y0 - miny], -1),
-        jnp.stack([x1 - minx + d1 + WARP_EPS, y1 - miny], -1),
-        jnp.stack([x1 - minx + WARP_EPS, y1 - miny], -1),
-    ], axis=1)                                          # (N, 4, 2)
-    src = jnp.asarray([[0.0, 0.0], [tw, 0.0], [tw, th], [0.0, th]],
-                      dtype=jnp.float32)                # (4, 2)
-    src = jnp.broadcast_to(src, dst.shape)
+    # Destination quad (reference warping_points :317-327): a trapezoid
+    # with HORIZONTAL top and bottom edges — top (y=ya) spans
+    # [xa, xa+d0], bottom (y=yb) spans [xb, xb+d1]. The 4-point
+    # homography therefore has the closed form
+    #   H = [[d0/tw, h12, xa], [0, h22, ya], [0, h32, 1]]
+    # (solving a batched 8x8 DLT per drop, as cv2 does, costs thousands
+    # of tiny LU factorizations — scalar poison on TPU).
+    xa = x0 - minx
+    ya = y0 - miny
+    xb = x1 - minx + WARP_EPS
+    yb = y1 - miny
+    d1c = jnp.maximum(d1, WARP_EPS)     # degenerate bottom edge guard
 
-    # Solve DLT for the dst->src homography (cv2.getPerspectiveTransform).
-    def dlt(d, s):
-        rows = []
-        rhs = []
-        for k in range(4):
-            x, y = d[k, 0], d[k, 1]
-            u, v = s[k, 0], s[k, 1]
-            rows.append(jnp.stack([x, y, 1.0, 0.0, 0.0, 0.0, -u * x, -u * y]))
-            rhs.append(u)
-            rows.append(jnp.stack([0.0, 0.0, 0.0, x, y, 1.0, -v * x, -v * y]))
-            rhs.append(v)
-        A = jnp.stack(rows)
-        b = jnp.stack(rhs)
-        A = A + 1e-8 * jnp.eye(8, dtype=A.dtype)
-        h = jnp.linalg.solve(A, b)
-        return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    wths = d0 / d1c                     # projective weight at y_t = th
+    h11 = d0 / tw
+    h13 = xa
+    h23 = ya
+    h32 = (wths - 1.0) / th
+    h12 = (xb * wths - xa) / th
+    h22 = (yb * wths - ya) / th
 
-    M = jax.vmap(dlt)(dst.astype(jnp.float32), src.astype(jnp.float32))
-    # Degenerate quads (padded/invalid drops) give singular systems;
-    # zero the matrix so downstream sampling stays finite.
+    # Inverse (patch -> texture) via the adjugate of
+    # [[a, b, c], [0, e, f], [0, g, 1]] (scale cancels in hx/hz).
+    a, b_, c_ = h11, h12, h13
+    e, f_, g_ = h22, h23, h32
+    zeros = jnp.zeros_like(a)
+    M = jnp.stack([
+        jnp.stack([e - f_ * g_, -(b_ - c_ * g_), b_ * f_ - c_ * e], -1),
+        jnp.stack([zeros, a + jnp.zeros_like(e), -a * f_], -1),
+        jnp.stack([zeros, -a * g_, a * e], -1),
+    ], axis=1).astype(jnp.float32)      # (N, 3, 3)
     M = jnp.where(jnp.all(jnp.isfinite(M), axis=(1, 2))[:, None, None],
                   M, 0.0)
     return minx, miny, w_c, h_c, M
