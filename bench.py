@@ -32,8 +32,8 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 64
-    CAPACITY = 512
+    BATCH = 16
+    CAPACITY = 384
     FALLRATE = 10.0
 
     settings = RenderSettings(camera=CameraSettings())  # KITTI defaults
@@ -57,24 +57,28 @@ def main():
     tex = texture_bank(db)
     edges = jnp.asarray(db.bin_edges)
 
+    iters = 10
+
     def step(keys):
         out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
-        # Return a scalar: fetching it forces full completion (under the
-        # remote axon platform, block_until_ready returns before the
-        # device finishes, silently inflating throughput ~2-3x).
         return (jnp.sum(out.rainy_image[:, ::97, ::97])
                 + jnp.sum(out.rain_mask[:, ::97, ::97]))
 
-    step_jit = jax.jit(step)
+    def many(base_key):
+        # All iterations stay on device; ONE scalar fetch at the end
+        # forces completion. (Per-iteration fetches pay a ~50 ms tunnel
+        # round trip each under axon, and plain block_until_ready
+        # returns before the device finishes.)
+        def body(i, acc):
+            k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+            return acc + step(k)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
 
-    # Warmup/compile.
-    float(step_jit(keys))
+    many_jit = jax.jit(many)
+    float(many_jit(keys))  # warmup/compile
 
-    iters = 6
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(step_jit(keys))
+    acc = float(many_jit(keys))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
 

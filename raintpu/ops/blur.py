@@ -35,21 +35,59 @@ def cv2_gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+# Above this edge length the banded-matmul blur switches to depthwise
+# convs (the band matrix grows as n^2).
+_MATMUL_BLUR_MAX_DIM = 2048
+
+_blur_matrix_cache = {}
+
+
+def _blur_matrix(n: int, kernel_key, kernel: np.ndarray) -> np.ndarray:
+    """(n, n) band matrix applying the 1-D kernel with REFLECT_101
+    borders: out = K @ x."""
+    key = (n, kernel_key)
+    if key in _blur_matrix_cache:
+        return _blur_matrix_cache[key]
+    r = (kernel.shape[0] - 1) // 2
+    K = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    for k, wgt in enumerate(kernel):
+        j = i - r + k
+        # REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
+        j = np.abs(j)
+        j = np.where(j >= n, 2 * (n - 1) - j, j)
+        np.add.at(K, (i, j), wgt)
+    _blur_matrix_cache[key] = K
+    return K
+
+
 def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """Separable blur of (H, W) or (H, W, C) with one static 1-D kernel.
 
-    Borders are REFLECT_101 (cv2 default; jnp.pad mode='reflect').
+    Borders are REFLECT_101 (cv2 default). Implemented as two banded
+    matmuls (exact; MXU) — small-channel depthwise convs run on the VPU
+    at a fraction of peak and dominated the fog pass.
     """
-    k = jnp.asarray(kernel, dtype=img.dtype)
-    ksize = kernel.shape[0]
-    r = (ksize - 1) // 2
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     h, w, c = img.shape
+    ksize = kernel.shape[0]
+    kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
 
+    if max(h, w) <= _MATMUL_BLUR_MAX_DIM:
+        kh = jnp.asarray(_blur_matrix(h, kernel_key, kernel), img.dtype)
+        kw = jnp.asarray(_blur_matrix(w, kernel_key, kernel), img.dtype)
+        out = jnp.einsum("ij,jwc->iwc", kh, img,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("hjc,wj->hwc", out, kw,
+                         preferred_element_type=jnp.float32)
+        return out[..., 0] if squeeze else out
+
+    # Fallback: depthwise convs (large frames).
+    k = jnp.asarray(kernel, dtype=img.dtype)
+    r = (ksize - 1) // 2
     p = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
-    # Depthwise conv: (N=1, C, H, W) with per-channel identical kernel.
     x = p.transpose(2, 0, 1)[None]                       # (1, C, H+, W+)
     krow = jnp.broadcast_to(k[None, None, :, None], (c, 1, ksize, 1))
     kcol = jnp.broadcast_to(k[None, None, None, :], (c, 1, 1, ksize))
