@@ -32,8 +32,8 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 16
-    CAPACITY = 384
+    BATCH = 8
+    CAPACITY = 512
     FALLRATE = 10.0
 
     settings = RenderSettings(camera=CameraSettings())  # KITTI defaults

@@ -75,6 +75,12 @@ class RenderJob:
         self.spec = spec
         self.db: Optional[StreakDatabase] = None
         self._resolve_conflict_strategy()
+        # Saves run on a thread pool: PNG encode costs ~5-10 ms/frame on
+        # host, which would throttle the device at production rates.
+        import concurrent.futures as cf
+        self._save_pool = cf.ThreadPoolExecutor(max_workers=8)
+        self._save_futures = []
+        self._overflow_total = 0
 
     # -- conflict handling ------------------------------------------------
     def _existing_output_dirs(self) -> List[str]:
@@ -292,6 +298,11 @@ class RenderJob:
                 if s.verbose:
                     sys.stdout.write("\r" + prog.line() + "\n")
 
+        # Drain pending saves; surface any I/O error.
+        for fut in self._save_futures:
+            fut.result()
+        self._save_futures.clear()
+        stats["overflowed_drops"] = self._overflow_total
         return stats
 
     # -- drop sources -----------------------------------------------------
@@ -344,10 +355,21 @@ class RenderJob:
         masks = np.asarray(out.rain_mask)
         envs = np.asarray(out.envmap) if cfg.save_envmap else None
 
+        overflow = int(np.asarray(out.overflow).sum())
+        if overflow > 0:
+            self._overflow_total += overflow
+            print_warning(
+                f"{overflow} drop(s) exceeded bucket capacity and were "
+                "dropped — raise --drop_capacity.")
+
         for bi, (i, name, oi, om, _pair) in enumerate(batch[:n_real]):
-            self._save_rainy(oi, rainy[bi])
-            self._save_mask(om, masks[bi])
+            self._save_futures.append(self._save_pool.submit(
+                self._save_rainy, oi, rainy[bi]))
+            self._save_futures.append(self._save_pool.submit(
+                self._save_mask, om, masks[bi]))
             if envs is not None:
-                self._save_rainy(os.path.join(out_seq, "envmap",
-                                              name + ".png"), envs[bi])
+                self._save_futures.append(self._save_pool.submit(
+                    self._save_rainy,
+                    os.path.join(out_seq, "envmap", name + ".png"),
+                    envs[bi]))
             stats["rendered"] += 1

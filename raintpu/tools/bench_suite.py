@@ -1,0 +1,187 @@
+"""Extended benchmark suite — the BASELINE.json workload configs.
+
+The headline bench (repo-root bench.py) prints the single driver line;
+this suite covers the remaining configs:
+
+    python -m raintpu.tools.bench_suite [config ...]
+
+configs: kitti_sweep, cityscapes_envmap, nuscenes_6cam, online_4k
+(default: all). Each prints one JSON line. All timing is device-side
+looped with a single scalar fetch (see bench.py for why).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _timed(step, iters=6):
+    import jax
+
+    def many():
+        return jax.lax.fori_loop(0, iters, lambda i, a: a + step(i), 0.0)
+
+    f = jax.jit(many)
+    float(f())
+    t0 = time.perf_counter()
+    v = float(f())
+    assert v == v, "NaN in benchmark output"
+    return (time.perf_counter() - t0) / iters
+
+
+def _common(B, W, H, fallrate, capacity, settings=None, **cfg_kw):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raintpu.data.textures import procedural_streak_database, texture_bank
+    from raintpu.ops.rasterize import RasterConfig
+    from raintpu.physics.simulator import SimConfig, simulate_frames
+    from raintpu.render.camera import CameraSettings, RenderSettings
+    from raintpu.render.frame import PipelineConfig
+
+    if settings is None:
+        settings = RenderSettings(camera=CameraSettings(
+            wh=(W, H), ccd_wh=(W, H)))
+    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
+                         fallrate=float(fallrate),
+                         raster=RasterConfig.default(capacity), **cfg_kw)
+    sim_cfg = SimConfig.from_settings(settings, capacity=capacity)
+    drops = simulate_frames(jax.random.PRNGKey(0), sim_cfg,
+                            jnp.full(B, float(fallrate)), jnp.full(B, 8.0),
+                            jnp.full(B, settings.camera.exposure_s),
+                            jnp.ones(B))
+    rng = np.random.RandomState(0)
+    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    edges = jnp.asarray(db.bin_edges)
+    return cfg, sim_cfg, drops, bg, depth, keys, bank, edges
+
+
+def bench_kitti_sweep():
+    """Intensity sweep {1, 5, 25, 50} mm/hr (BASELINE config 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.render.frame import render_frames
+
+    B = 4
+    total = 0.0
+    for fr in (1, 5, 25, 50):
+        cfg, _, drops, bg, depth, keys, bank, edges = _common(
+            B, 1242, 375, fr, 512)
+
+        def step(i, _c=cfg, _d=drops, _k=keys):
+            k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(_k)
+            out = render_frames(bg, depth, _d, bank, edges, k, _c)
+            return jnp.sum(out.rain_mask[:, ::97, ::97])
+
+        total += _timed(step)
+    rate = 4 * B / total
+    return {"metric": "KITTI sweep {1,5,25,50}mm/hr", "value": round(rate, 2),
+            "unit": "images/s", "vs_baseline": round(rate / 500.0, 3)}
+
+
+def bench_cityscapes_envmap():
+    """Cityscapes at render_scale=2 with envmap saving (config 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.render.frame import render_frames
+
+    B = 4
+    cfg, _, drops, bg, depth, keys, bank, edges = _common(
+        B, 1024, 512, 25, 512, save_envmap=True)
+
+    def step(i):
+        k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+        out = render_frames(bg, depth, drops, bank, edges, k, cfg)
+        return (jnp.sum(out.rain_mask[:, ::97, ::97])
+                + jnp.sum(out.envmap[:, ::131, ::131]))
+
+    rate = B / _timed(step)
+    return {"metric": "Cityscapes 1024x512 + envmap @25mm/hr",
+            "value": round(rate, 2), "unit": "images/s",
+            "vs_baseline": round(rate / 500.0, 3)}
+
+
+def bench_nuscenes_6cam():
+    """nuScenes-like 6-camera batch @100 mm/hr (config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.render.frame import render_frames
+
+    B = 6  # one 6-camera rig timestamp per step
+    cfg, _, drops, bg, depth, keys, bank, edges = _common(
+        B, 1600, 900, 100, 1024)
+
+    def step(i):
+        k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+        out = render_frames(bg, depth, drops, bank, edges, k, cfg)
+        return jnp.sum(out.rain_mask[:, ::97, ::97])
+
+    rate = B / _timed(step)
+    return {"metric": "nuScenes 6x1600x900 rig @100mm/hr",
+            "value": round(rate, 2), "unit": "images/s",
+            "vs_baseline": round(rate / 500.0, 3)}
+
+
+def bench_online():
+    """Online mode: on-device simulation + render per step (config 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.physics.simulator import simulate_frames
+    from raintpu.render.frame import render_frames
+
+    B = 8
+    cfg, sim_cfg, _, bg, depth, keys, bank, edges = _common(
+        B, 1242, 375, 25, 512)
+
+    def step(i):
+        k0 = jax.random.fold_in(jax.random.PRNGKey(3), i)
+        drops = simulate_frames(k0, sim_cfg, jnp.full(B, 25.0),
+                                jnp.full(B, 8.0), jnp.full(B, 2e-3),
+                                jnp.ones(B))
+        k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+        out = render_frames(bg, depth, drops, bank, edges, k, cfg)
+        return jnp.sum(out.rain_mask[:, ::97, ::97])
+
+    rate = B / _timed(step)
+    return {"metric": "online sim+render KITTI @25mm/hr",
+            "value": round(rate, 2), "unit": "images/s",
+            "vs_baseline": round(rate / 500.0, 3)}
+
+
+CONFIGS = {
+    "kitti_sweep": bench_kitti_sweep,
+    "cityscapes_envmap": bench_cityscapes_envmap,
+    "nuscenes_6cam": bench_nuscenes_6cam,
+    "online": bench_online,
+}
+
+
+def main(argv=None):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    names = (argv or sys.argv[1:]) or list(CONFIGS)
+    for name in names:
+        try:
+            print(json.dumps(CONFIGS[name]()), flush=True)
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
