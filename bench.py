@@ -32,7 +32,7 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 8
+    BATCH = 12
     CAPACITY = 512
     FALLRATE = 10.0
 
