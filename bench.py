@@ -33,7 +33,7 @@ def main():
 
     H, W = 375, 1242
     BATCH = 12
-    CAPACITY = 512
+    CAPACITY = 384
     FALLRATE = 10.0
 
     settings = RenderSettings(camera=CameraSettings())  # KITTI defaults

@@ -20,7 +20,6 @@ import os
 import sys
 from types import SimpleNamespace
 
-import numpy as np
 
 from raintpu.data import db
 from raintpu.utils.logging import print_warning

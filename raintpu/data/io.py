@@ -10,7 +10,6 @@ TPU busy — the host side of the "pipeline parallelism" analogue
 from __future__ import annotations
 
 import concurrent.futures as cf
-import os
 from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np

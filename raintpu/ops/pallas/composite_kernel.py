@@ -25,7 +25,7 @@ The field canvases are padded by (PH, PW) (anchors are pre-clipped to
 from __future__ import annotations
 
 import functools
-import math
+
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ border exactly like the reference's delta-crop.
 from __future__ import annotations
 
 import dataclasses
-import math
+
 from typing import Optional, Tuple
 
 import jax

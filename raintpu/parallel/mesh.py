@@ -24,7 +24,7 @@ file-keyed work units the reference uses (kept in render/pipeline).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

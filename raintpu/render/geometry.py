@@ -14,7 +14,7 @@ math is jittable JAX.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import sys
-import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
