@@ -67,6 +67,33 @@ def empty_drop_batch(capacity: int) -> DropBatch:
                      valid=jnp.zeros((capacity,), bool))
 
 
+def compact_drop_batch(drops: DropBatch, capacity: int) -> DropBatch:
+    """Device-side compaction: pack valid drops to the front and trim to
+    ``capacity`` (jittable; overflow drops beyond capacity are lost —
+    callers should size capacity from the workload).
+
+    The on-device simulator leaves invalid holes where culls hit; the
+    render cost of the parameter-prep stage scales with the batch
+    capacity, so tight packing matters at production rates.
+    """
+    import jax
+
+    n = drops.valid.shape[-1]
+    idx = jnp.where(drops.valid, jnp.arange(n, dtype=jnp.int32), n)
+    idx = jnp.sort(idx)
+    if capacity > n:
+        idx = jnp.pad(idx, (0, capacity - n), constant_values=n)
+    idx = idx[:capacity]
+    sel_valid = idx < n
+    idx = jnp.minimum(idx, n - 1)
+
+    def take(a):
+        return a[idx]
+
+    out = jax.tree.map(take, drops)
+    return dataclasses.replace(out, valid=sel_valid)
+
+
 def finalize_raw_streaks(ip1: np.ndarray, ip2: np.ndarray,
                          iw1: np.ndarray, iw2: np.ndarray,
                          wp1: np.ndarray, wp2: np.ndarray,
