@@ -89,6 +89,12 @@ def main():
     many_jit = jax.jit(many)
     float(many_jit(keys))  # warmup/compile
 
+    # Guard the workload-fit bucket config: no drop may overflow.
+    overflow = int(jax.jit(lambda k: jnp.sum(render_frames(
+        bg, depth, drops, tex, edges, k, cfg).overflow))(keys))
+    assert overflow == 0, f"{overflow} drops overflowed bucket capacity"
+
+
     t0 = time.perf_counter()
     acc = float(many_jit(keys))
     dt = time.perf_counter() - t0
