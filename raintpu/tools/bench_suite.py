@@ -49,11 +49,17 @@ def _common(B, W, H, fallrate, capacity, settings=None, **cfg_kw):
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=float(fallrate),
                          raster=RasterConfig.default(capacity), **cfg_kw)
-    sim_cfg = SimConfig.from_settings(settings, capacity=capacity)
+    from raintpu.particles.schema import compact_drop_batch
+
+    # Simulate with headroom, then pack to the render capacity (no
+    # population truncation — see bench.py).
+    sim_cfg = SimConfig.from_settings(settings, capacity=2 * capacity)
     drops = simulate_frames(jax.random.PRNGKey(0), sim_cfg,
                             jnp.full(B, float(fallrate)), jnp.full(B, 8.0),
                             jnp.full(B, settings.camera.exposure_s),
                             jnp.ones(B))
+    drops = jax.jit(jax.vmap(
+        lambda d: compact_drop_batch(d, capacity)))(drops)
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))

@@ -124,3 +124,21 @@ def test_simulate_frames_batched():
     assert b.ip1.shape == (3, 512, 2)
     counts = np.asarray(b.count())
     assert counts[0] < counts[2]  # heavier rain, more streaks
+
+
+def test_compact_drop_batch():
+    from raintpu.particles.schema import compact_drop_batch
+
+    cfg = kitti_cfg(capacity=512)
+    b = simulate_frame(jax.random.PRNGKey(4), cfg, 5.0, 5.0, 2e-3, 1.0)
+    n_before = int(b.count())
+    assert 0 < n_before < 256  # no truncation in this scenario
+    c = compact_drop_batch(b, 256)
+    assert int(c.count()) == n_before
+    v = np.asarray(c.valid)
+    # Valid drops packed to the front.
+    assert v[:n_before].all() and not v[n_before:].any()
+    # Same drop population (compare sorted widths).
+    wb = np.sort(np.asarray(b.iw1)[np.asarray(b.valid)])
+    wc = np.sort(np.asarray(c.iw1)[v])
+    np.testing.assert_allclose(wb, wc)
