@@ -48,16 +48,26 @@ const char* find_past(const char* p, const char* end, const char* needle) {
 }
 
 // Parse attr="..." following p; returns value range in [*vb, *ve).
+// The attribute name must be preceded by whitespace — otherwise e.g.
+// looking up frame attribute `d` would match inside `id="..."`.
 bool attr_value(const char* p, const char* end, const char* name,
                 const char** vb, const char** ve) {
   std::string pat = std::string(name) + "=\"";
-  const char* v = find_past(p, end, pat.c_str());
-  if (!v) return false;
-  const char* q = static_cast<const char*>(memchr(v, '"', end - v));
-  if (!q) return false;
-  *vb = v;
-  *ve = q;
-  return true;
+  const char* cur = p;
+  while (true) {
+    const char* v = find_past(cur, end, pat.c_str());
+    if (!v) return false;
+    const char* match = v - pat.size();
+    if (match > p && (match[-1] == ' ' || match[-1] == '\t' ||
+                      match[-1] == '\n' || match[-1] == '\r')) {
+      const char* q = static_cast<const char*>(memchr(v, '"', end - v));
+      if (!q) return false;
+      *vb = v;
+      *ve = q;
+      return true;
+    }
+    cur = match + 1;
+  }
 }
 
 double to_f(const char* b, const char* e) {

@@ -23,20 +23,34 @@ _lib = None
 _lib_tried = False
 
 
+def _stale() -> bool:
+    """True when the .so is absent or older than its sources (a stale
+    binary would silently shadow source fixes)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for name in ("xmlparse.cc", "Makefile"):
+        src = os.path.join(_NATIVE_DIR, name)
+        if os.path.exists(src) and os.path.getmtime(src) > so_mtime:
+            return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         src = os.path.join(_NATIVE_DIR, "xmlparse.cc")
         if not os.path.exists(src):
             return None
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -101,6 +115,7 @@ def parse_particles_xml_native(path: str) -> List[dict]:
                 "start": int(info[2]), "count": int(info[3]),
                 "pid": pid, "ip1": ip1, "ip2": ip2, "iw1": iw1,
                 "iw2": iw2, "wp1": wp1, "wp2": wp2,
+                "wd1": wd1, "wd2": wd2,
             })
         return frames
     finally:

@@ -76,6 +76,7 @@ def parse_particles_xml_raw(path: str, prefer_native: bool = True
         n = len(frame)
         ip1 = np.zeros((n, 2)); ip2 = np.zeros((n, 2))
         iw1 = np.zeros((n,)); iw2 = np.zeros((n,))
+        wd1 = np.zeros((n,)); wd2 = np.zeros((n,))
         wp1 = np.zeros((n, 3)); wp2 = np.zeros((n, 3))
         pid = np.zeros((n,), np.int64)
         for i, drop in enumerate(frame):
@@ -87,11 +88,13 @@ def parse_particles_xml_raw(path: str, prefer_native: bool = True
             ip2[i] = _vec(d["ip2"])
             iw1[i] = float(d["iw1"])
             iw2[i] = float(d["iw2"])
+            wd1[i] = float(d.get("wd1", 0.0))
+            wd2[i] = float(d.get("wd2", 0.0))
         frames.append({
             "id": int(a["id"]), "exposure": int(a["t"]),
             "start": int(a["d"]), "count": int(a.get("rs", n)),
             "pid": pid, "ip1": ip1, "ip2": ip2, "iw1": iw1, "iw2": iw2,
-            "wp1": wp1, "wp2": wp2,
+            "wp1": wp1, "wp2": wp2, "wd1": wd1, "wd2": wd2,
         })
     return frames
 
@@ -188,13 +191,19 @@ def write_particles_xml(path: str, frames: List[dict]) -> None:
 
 def batch_to_raw_frames(batch: DropBatch, image_wh, cam_hz: float,
                         exposure_s: float,
-                        render_scale: float = 1.0) -> List[dict]:
+                        render_scale: float = 1.0,
+                        focal_px: Optional[float] = None) -> List[dict]:
     """Convert simulator DropBatch output (parsed convention, leading
     frame dim) back to raw sim-space records for XML export.
 
+    ``image_wh`` is the FULL-resolution camera size (e.g.
+    ``SimConfig.image_wh``); batch positions are render-space, so the
+    inverse transform is ``y_sim = H_full - y_render * render_scale``.
     Inverts the parse conventions: image y unflipped to bottom-origin
     full-res, world z negated back. Rounded image positions are kept
-    (lossless through a re-parse round-trip)."""
+    (lossless through a re-parse round-trip). When ``focal_px`` is
+    given, world diameters (wd1/wd2, meters) are derived via the
+    thin-lens relation wd = iw_fullres * depth / focal."""
     h = int(image_wh[1])
     frames = []
     ip1 = np.asarray(batch.ip1)
@@ -216,17 +225,24 @@ def batch_to_raw_frames(batch: DropBatch, image_wh, cam_hz: float,
 
         def unflip(p):
             q = p[v] * rs
-            return np.stack([q[:, 0], h * rs - q[:, 1]], -1)
+            return np.stack([q[:, 0], h - q[:, 1]], -1)
 
         wp1_s = wp1[fi][v].copy(); wp1_s[:, 2] *= -1
         wp2_s = wp2[fi][v].copy(); wp2_s[:, 2] *= -1
+        if focal_px is not None:
+            # depth = world z forward (positive in parsed convention).
+            wd1_s = iw1[fi][v] * rs * np.abs(wp1[fi][v][:, 2]) / focal_px
+            wd2_s = iw2[fi][v] * rs * np.abs(wp2[fi][v][:, 2]) / focal_px
+        else:
+            wd1_s = np.zeros(int(v.sum()))
+            wd2_s = np.zeros(int(v.sum()))
         frames.append({
             "id": fi, "exposure": int(exposure_s * 1e6),
             "start": int(fi / cam_hz * 1e6), "pid": np.arange(v.sum()),
             "ip1": unflip(ip1[fi]), "ip2": unflip(ip2[fi]),
             "iw1": iw1[fi][v] * rs, "iw2": iw2[fi][v] * rs,
             "wp1": wp1_s, "wp2": wp2_s,
-            "wd1": np.zeros(int(v.sum())), "wd2": np.zeros(int(v.sum())),
+            "wd1": wd1_s, "wd2": wd2_s,
         })
     return frames
 

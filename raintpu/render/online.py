@@ -62,7 +62,8 @@ class OnlineRenderJob(RenderJob):
                 batch, self._sim_cfg.image_wh,
                 cam_hz=self._sim_cfg.cam_hz,
                 exposure_s=float(self._sched_expo[i]),
-                render_scale=self._sim_cfg.render_scale)
+                render_scale=self._sim_cfg.render_scale,
+                focal_px=float(self._sim_cfg.focal_px[0]))
             raw[0]["id"] = frame_idx
             self._export_frames.append(raw[0])
         return batch

@@ -142,6 +142,45 @@ def test_native_parser_matches_python(tmp_path):
     b = parse_particles_xml_native(p)
     assert len(a) == len(b)
     for fa, fb in zip(a, b):
-        assert fa["id"] == fb["id"]
-        for k in ("ip1", "ip2", "iw1", "iw2", "wp1", "wp2", "pid"):
+        # exposure/start exercise attribute-name disambiguation: frame
+        # attr `d` must not match inside `id="..."`.
+        for k in ("id", "exposure", "start", "count"):
+            assert fa[k] == fb[k], k
+        for k in ("ip1", "ip2", "iw1", "iw2", "wp1", "wp2", "pid",
+                  "wd1", "wd2"):
             np.testing.assert_allclose(fa[k], fb[k], rtol=1e-6)
+    # Regression for the d-inside-id bug: frame 3 has d = 300000.
+    assert b[3]["start"] == 300000 and b[3]["id"] == 3
+
+
+def test_roundtrip_render_scale_2(tmp_path):
+    """Export at render_scale=2 -> reload at render_scale=2 -> identical
+    streak positions (regression for the double-applied scale in the
+    y-unflip)."""
+    from raintpu.physics.simulator import SimConfig, simulate_frames
+
+    cfg = SimConfig(image_wh=(256, 128), focal_px=(600.0, 600.0),
+                    exposure_s=2e-3, capacity=256, z_max=5.0,
+                    render_scale=2.0)
+    batch = simulate_frames(jax.random.PRNGKey(0), cfg,
+                            jnp.full(1, 80.0), jnp.zeros(1),
+                            jnp.full(1, 2e-3), jnp.ones(1))
+    raw = xml_io.batch_to_raw_frames(batch, cfg.image_wh, cam_hz=10.0,
+                                     exposure_s=2e-3, render_scale=2.0,
+                                     focal_px=300.0)
+    p = os.path.join(str(tmp_path), "rs2_camera0.xml")
+    xml_io.write_particles_xml(p, raw)
+    # Reload at the same render_scale: image_wh here is the RENDER size.
+    loaded = xml_io.load_streaks(p, image_wh=(128, 64), render_scale=2.0,
+                                 use_cache=False)
+    v0 = np.asarray(batch.valid[0])
+    got = loaded[0]
+    assert len(got["ip1"]) == v0.sum() > 0
+    a = np.sort(np.asarray(batch.ip1[0])[v0], axis=0)
+    b = np.sort(got["ip1"], axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-3)
+    # World diameters survive the round trip (native + python parsers).
+    raw2 = xml_io.parse_particles_xml_raw(p)
+    np.testing.assert_allclose(np.sort(raw2[0]["wd1"]),
+                               np.sort(raw[0]["wd1"]), rtol=1e-4)
+    assert np.all(raw2[0]["wd1"] > 0)
