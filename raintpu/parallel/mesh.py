@@ -55,13 +55,14 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 _sharded_cache = {}
+_SHARDED_CACHE_MAX = 16
 
 
 def render_frames_sharded(mesh: Mesh,
                           bg: jnp.ndarray,
                           depth: jnp.ndarray,
                           drops: DropBatch,
-                          textures: jnp.ndarray,
+                          textures,
                           bin_edges: jnp.ndarray,
                           keys: jax.Array,
                           cfg: PipelineConfig) -> FrameOutput:
@@ -72,24 +73,40 @@ def render_frames_sharded(mesh: Mesh,
 
     Per-device work: B/dp frames x N/sp drops. Communication: one psum
     of the field maps over sp (zero when sp == 1). The compiled sharded
-    step is cached per (mesh, cfg) so repeated calls don't re-trace.
+    step is cached per (mesh, cfg, backend) with a bounded LRU so
+    repeated calls don't re-trace.
+
+    The field accumulation backend follows ``cfg.composite_mode``
+    exactly like the unsharded path: the fused Pallas raster+composite
+    kernel when resolved to "fused" (the 542 img/s single-chip path;
+    requires ``textures`` to be a TextureBank), the XLA composite
+    otherwise (CPU/golden fallback). On non-TPU backends the fused
+    kernel runs in interpret mode, which bit-matches XLA.
     """
+    mode = cfg.resolved_composite_mode()
+    fused = mode == "fused" and hasattr(textures, "ay")
     cache_key = (tuple(mesh.devices.flat), mesh.devices.shape,
-                 mesh.axis_names, cfg)
-    fn = _sharded_cache.get(cache_key)
+                 mesh.axis_names, cfg, fused)
+    fn = _sharded_cache.pop(cache_key, None)
     if fn is None:
-        fn = _build_sharded(mesh, cfg)
-        _sharded_cache[cache_key] = fn
+        fn = _build_sharded_fused(mesh, cfg) if fused \
+            else _build_sharded(mesh, cfg)
+        while len(_sharded_cache) >= _SHARDED_CACHE_MAX:
+            _sharded_cache.pop(next(iter(_sharded_cache)))
+    _sharded_cache[cache_key] = fn  # re-insert = LRU touch
     return fn(bg, depth, drops, textures, bin_edges, keys)
 
 
-def _build_sharded(mesh: Mesh, cfg: PipelineConfig):
+def _drop_in_specs():
     data_spec = P("dp")
     drop_spec = jax.tree.map(lambda _: P("dp", "sp"),
                              DropBatch(*([0] * 11)))
+    return (data_spec, data_spec, drop_spec, P(), P(), data_spec)
 
+
+def _build_sharded(mesh: Mesh, cfg: PipelineConfig):
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(data_spec, data_spec, drop_spec, P(), P(), data_spec),
+             in_specs=_drop_in_specs(),
              out_specs=jax.tree.map(lambda _: P("dp"), _out_treedef(cfg)),
              check_vma=False)
     def _run(bg_l, depth_l, drops_l, tex, edges, keys_l):
@@ -111,6 +128,44 @@ def _build_sharded(mesh: Mesh, cfg: PipelineConfig):
                                             overflow, cfg)
 
         return jax.vmap(one)(bg_l, depth_l, drops_l, keys_l)
+
+    return jax.jit(_run)
+
+
+def _build_sharded_fused(mesh: Mesh, cfg: PipelineConfig):
+    """Sharded step backed by the fused Pallas raster+composite kernel.
+
+    Each device runs the fused kernel over its (local frames x local
+    drops) shard into padded field planes; a single psum over ``sp``
+    reduces the planes (they are order-independent sums), then each
+    device finalizes its own frames. This brings the sharded path to
+    the same per-drop cost as the single-chip flagship path instead of
+    the XLA scatter composite.
+    """
+    interpret = jax.default_backend() != "tpu"
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=_drop_in_specs(),
+             out_specs=jax.tree.map(lambda _: P("dp"), _out_treedef(cfg)),
+             check_vma=False)
+    def _run(bg_l, depth_l, drops_l, tex, edges, keys_l):
+        sp_idx = jax.lax.axis_index("sp")
+        n_local = drops_l.ip1.shape[1]
+        fogged, env_save, planes, overflow = frame_mod.fused_field_planes(
+            bg_l, depth_l, drops_l, tex, edges, keys_l, cfg,
+            drop_offset=sp_idx * n_local, interpret=interpret)
+        planes = tuple(jax.lax.psum(p, "sp") for p in planes)
+        overflow = jax.lax.psum(overflow, "sp")
+        fmaps = frame_mod.crop_field_planes(planes, cfg)
+
+        if env_save is None:
+            return jax.vmap(
+                lambda b, fg, fl, ov: frame_mod.finalize_frame(
+                    b, fg, fl, None, ov, cfg))(
+                bg_l, fogged, fmaps, overflow)
+        return jax.vmap(lambda b, fg, fl, env, ov: frame_mod.finalize_frame(
+            b, fg, fl, env, ov, cfg))(
+            bg_l, fogged, fmaps, env_save, overflow)
 
     return jax.jit(_run)
 

@@ -325,11 +325,19 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
     return buckets, overflow
 
 
-def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
-                         cfg: PipelineConfig,
-                         interpret: bool = False) -> FrameOutput:
-    """Batched render using the fused raster+composite Pallas kernel."""
-    from raintpu.ops.composite import FieldMaps
+def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
+                       cfg: PipelineConfig,
+                       drop_offset=0,
+                       interpret: bool = False):
+    """Batched fused raster+composite up to the (padded) field planes.
+
+    Returns (fogged, env_save, planes, overflow) where ``planes`` is the
+    5-tuple (alpha, log_att, add_r, add_g, add_b) of (B, HP, WP) padded
+    accumulators. The planes are order-independent SUMS over drops, so a
+    drop-sharded caller (raintpu.parallel) can psum them across the sp
+    axis before cropping. ``drop_offset`` is the global index of the
+    first drop (may be traced), keeping per-drop RNG layout-invariant.
+    """
     from raintpu.ops.pallas.fused_kernel import (LANE, SUBLANE,
                                                  fused_raster_composite,
                                                  plan_window)
@@ -337,7 +345,8 @@ def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
     def stage1(b, d, dr, k):
         fogged, env_photo, env_save = frame_background(b, d, cfg)
         buckets, overflow = drop_fused_params(
-            env_photo, dr, textures, bin_edges, k, cfg)
+            env_photo, dr, textures, bin_edges, k, cfg,
+            drop_offset=drop_offset)
         return fogged, env_save, buckets, overflow
 
     fogged, env_save, buckets, overflow = jax.vmap(stage1)(
@@ -361,12 +370,29 @@ def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
             bk["params"], bk["anchor"], bk["ayc"], bk["bxc"], n_valid,
             fields, window_hw=plan, tex_hw=tuple(tex_hw),
             interpret=interpret)
+    return fogged, env_save, fields, overflow
 
-    alpha, log_att, ar, ag, ab = fields
-    additive = jnp.stack([ar[:, :h, :w], ag[:, :h, :w], ab[:, :h, :w]],
-                         axis=-1)
-    fmaps = FieldMaps(log_att=log_att[:, :h, :w], additive=additive,
-                      alpha=alpha[:, :h, :w])
+
+def crop_field_planes(planes, cfg: PipelineConfig):
+    """(alpha, log_att, r, g, b) padded planes -> FieldMaps at image size."""
+    from raintpu.ops.composite import FieldMaps
+
+    h, w = cfg.image_hw
+    alpha, log_att, ar, ag, ab = planes
+    additive = jnp.stack([ar[..., :h, :w], ag[..., :h, :w],
+                          ab[..., :h, :w]], axis=-1)
+    return FieldMaps(log_att=log_att[..., :h, :w], additive=additive,
+                     alpha=alpha[..., :h, :w])
+
+
+def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
+                         cfg: PipelineConfig,
+                         interpret: bool = False) -> FrameOutput:
+    """Batched render using the fused raster+composite Pallas kernel."""
+    fogged, env_save, planes, overflow = fused_field_planes(
+        bg, depth, drops, textures, bin_edges, keys, cfg,
+        interpret=interpret)
+    fmaps = crop_field_planes(planes, cfg)
 
     if env_save is None:
         return jax.vmap(
@@ -397,8 +423,9 @@ def render_frames(bg: jnp.ndarray,
                                              bin_edges, k, cfg))(
             bg, depth, drops, keys)
     if mode == "fused":
-        return _render_frames_fused(bg, depth, drops, textures,
-                                    bin_edges, keys, cfg)
+        return _render_frames_fused(
+            bg, depth, drops, textures, bin_edges, keys, cfg,
+            interpret=jax.default_backend() != "tpu")
 
     from raintpu.ops.pallas.composite_kernel import (
         composite_drops_pallas_batched)

@@ -71,6 +71,53 @@ def test_dp_x_sp_mesh_runs_and_mask_matches():
     np.testing.assert_allclose(r, np.asarray(out1.rainy_image), atol=1e-5)
 
 
+def _fused_cfg(cfg):
+    import dataclasses
+    return dataclasses.replace(cfg, composite_mode="fused")
+
+
+def test_fused_sharded_matches_unsharded_fused():
+    from raintpu.data.textures import texture_bank
+
+    bg, depth, drops, db, keys, cfg = _setup()
+    cfg = _fused_cfg(cfg)
+    bank = texture_bank(db)
+    edges = jnp.asarray(db.bin_edges)
+    ref = render_frames(bg, depth, drops, bank, edges, keys, cfg)
+    mesh = make_mesh(n_devices=4, sp=1)
+    out = render_frames_sharded(mesh, bg, depth, drops, bank, edges,
+                                keys, cfg)
+    np.testing.assert_allclose(np.asarray(out.rainy_image),
+                               np.asarray(ref.rainy_image), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.rain_mask),
+                               np.asarray(ref.rain_mask), atol=2e-5)
+
+
+def test_fused_sharded_sp_layout_invariant():
+    from raintpu.data.textures import texture_bank
+
+    bg, depth, drops, db, keys, cfg = _setup(B=4)
+    cfg = _fused_cfg(cfg)
+    bank = texture_bank(db)
+    edges = jnp.asarray(db.bin_edges)
+    mesh1 = make_mesh(n_devices=4, sp=1)
+    out1 = render_frames_sharded(mesh1, bg, depth, drops, bank, edges,
+                                 keys, cfg)
+    mesh2 = make_mesh(sp=2)  # 4 dp x 2 sp
+    out2 = render_frames_sharded(mesh2, bg, depth,
+                                 split_drops_for_sp(drops, 2), bank,
+                                 edges, keys, cfg)
+    assert np.all(np.isfinite(np.asarray(out2.rainy_image)))
+    np.testing.assert_allclose(np.asarray(out2.rain_mask),
+                               np.asarray(out1.rain_mask), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2.rainy_image),
+                               np.asarray(out1.rainy_image), atol=1e-5)
+    # Drop-sharding conserves alpha mass (psum of order-independent sum).
+    a1 = float(np.asarray(out1.rain_mask).sum())
+    a2 = float(np.asarray(out2.rain_mask).sum())
+    assert a2 > 0 and abs(a1 - a2) / max(a1, 1e-9) < 1e-5
+
+
 def test_sp_psum_accumulates_all_drops():
     # Splitting drops across sp must not lose any alpha mass.
     bg, depth, drops, db, keys, cfg = _setup(B=2)
