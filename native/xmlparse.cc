@@ -151,15 +151,21 @@ void* rt_parse_xml(const char* path) {
   while (true) {
     const char* fp = find_past(p, end, "<frame");
     if (!fp) break;
-    const char* fend = find_past(fp, end, "</frame>");
-    const char* scan_end = fend ? fend : end;
     // Attribute scan limited to the tag itself.
     const char* tag_end =
-        static_cast<const char*>(memchr(fp, '>', scan_end - fp));
+        static_cast<const char*>(memchr(fp, '>', end - fp));
     if (!tag_end) {
       sim->error = "malformed frame tag";
       break;
     }
+    // A zero-drop frame is written self-closing (<frame ... />); it has
+    // no </frame>, so searching for one would swallow the NEXT frame's
+    // content (drops mis-attributed, a frame skipped).
+    bool self_closing = tag_end > fp && tag_end[-1] == '/';
+    const char* fend =
+        self_closing ? nullptr : find_past(tag_end, end, "</frame>");
+    const char* scan_end =
+        self_closing ? tag_end : (fend ? fend : end);
 
     Frame fr;
     int64_t v;
@@ -197,8 +203,13 @@ void* rt_parse_xml(const char* path) {
     }
     if (!sim->error.empty()) break;
     sim->frames.push_back(std::move(fr));
-    if (!fend) break;
-    p = fend;
+    if (self_closing) {
+      p = tag_end + 1;
+    } else if (fend) {
+      p = fend;
+    } else {
+      break;
+    }
   }
   return sim;
 }

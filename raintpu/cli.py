@@ -212,7 +212,14 @@ def main(argv=None) -> int:
         opacity_attenuation=a.opacity_attenuation, verbose=a.verbose,
         batch_size=a.batch_size, drop_capacity=a.drop_capacity,
         seed=a.seed)
-    stats = Job(spec).run()
+    job = Job(spec)
+    if a.online and a.export_xml:
+        job.export_xml = True
+    stats = job.run()
+    if a.online and a.export_xml:
+        for path in job.finish_export(
+                os.path.join(a.particles, a.dataset)):
+            print(f"Exported particle XML: {path}")
     print(f"\nDone: {stats}")
     return 0
 

@@ -35,8 +35,15 @@ def initialize(coordinator_address: Optional[str] = None,
     if num_processes is None and coordinator_address is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            return  # single-process
+        except Exception as e:
+            # Auto-detection legitimately fails on single-process runs,
+            # but the error may also be real multi-host misconfiguration
+            # — surface it instead of swallowing.
+            from raintpu.utils.logging import print_warning
+            print_warning(
+                "jax.distributed auto-init failed "
+                f"({type(e).__name__}: {e}); continuing single-process.")
+            return
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -223,6 +223,21 @@ def simulate_frame(key: jax.Array,
         drop_type=drop_type, valid=valid)
 
 
+def truncated_count(key: jax.Array, cfg: SimConfig,
+                    fallrate: jnp.ndarray) -> jnp.ndarray:
+    """Drops lost to the capacity clamp for this (key, fallrate).
+
+    Replays simulate_frame's exact count draw (same key split, same
+    Poisson stream), so the returned loss is exact, not an estimate —
+    callers surface it as the ``truncated_drops`` stat.
+    """
+    lam_k, _ = _strata_rates(cfg, fallrate)
+    total = jnp.sum(lam_k)
+    k_cnt = jax.random.split(key, 6)[0]
+    count = jax.random.poisson(k_cnt, total)
+    return jnp.maximum(count - cfg.capacity, 0).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def simulate_frames(key: jax.Array, cfg: SimConfig,
                     fallrate: jnp.ndarray,

@@ -16,7 +16,7 @@ import numpy as np
 
 from raintpu.particles import xml_io
 from raintpu.physics.simulator import (SimConfig, schedule_from_settings,
-                                       simulate_frame)
+                                       simulate_frame, truncated_count)
 from raintpu.render.camera import settings_from_dict
 from raintpu.render.pipeline import RenderJob
 
@@ -44,31 +44,98 @@ class OnlineRenderJob(RenderJob):
                                schedule_from_settings(
                                    rsettings, weather["fallrate"]))
         self._sim_seed = s.seed
-        self._export_frames = [] if self.export_xml else None
+        self._trunc_seen = set()
+        if self.export_xml:
+            if not hasattr(self, "_exports"):
+                self._exports = {}
+            key = (seq, weather["weather"], weather["fallrate"])
+            self._export_frames = self._exports.setdefault(key, {})
+        else:
+            self._export_frames = None
 
-    def _drops_for_frame(self, frame_idx: int):
+    def _sim_args(self, frame_idx: int):
         import jax
 
         n = len(self._sched_fall)
         i = frame_idx % n
         key = jax.random.fold_in(
             jax.random.PRNGKey(self._sim_seed), frame_idx)
+        return key, i
+
+    def _record_export(self, frame_idx: int, batch, sched_i: int) -> None:
+        if self._export_frames is None or frame_idx in self._export_frames:
+            return
+        raw = xml_io.batch_to_raw_frames(
+            batch, self._sim_cfg.image_wh,
+            cam_hz=self._sim_cfg.cam_hz,
+            exposure_s=float(self._sched_expo[sched_i]),
+            render_scale=self._sim_cfg.render_scale,
+            focal_px=float(self._sim_cfg.focal_px[0]))
+        raw[0]["id"] = frame_idx
+        self._export_frames[frame_idx] = raw[0]
+
+    def _drops_for_frame(self, frame_idx: int):
+        key, i = self._sim_args(frame_idx)
         batch = simulate_frame(
             key, self._sim_cfg,
             float(self._sched_fall[i]), float(self._sched_speed[i]),
             float(self._sched_expo[i]), float(self._sched_focal[i]))
-        if self._export_frames is not None:
-            raw = xml_io.batch_to_raw_frames(
-                batch, self._sim_cfg.image_wh,
-                cam_hz=self._sim_cfg.cam_hz,
-                exposure_s=float(self._sched_expo[i]),
-                render_scale=self._sim_cfg.render_scale,
-                focal_px=float(self._sim_cfg.focal_px[0]))
-            raw[0]["id"] = frame_idx
-            self._export_frames.append(raw[0])
+        self._count_truncation(frame_idx, key, float(self._sched_fall[i]))
+        self._record_export(frame_idx, batch, i)
         return batch
 
-    def finish_export(self, out_dir: str) -> str:
-        path = os.path.join(out_dir, "0000_camera0.xml")
-        xml_io.write_particles_xml(path, self._export_frames or [])
-        return path
+    def _count_truncation(self, frame_idx, key, fall) -> None:
+        if not hasattr(self, "_trunc_seen"):
+            self._trunc_seen = set()
+        if frame_idx in self._trunc_seen:
+            return
+        self._trunc_seen.add(frame_idx)
+        self._truncated_total += int(
+            truncated_count(key, self._sim_cfg, fall))
+
+    def _drops_for_frames(self, frame_indices):
+        """Batched simulation: one jitted simulate_frames call for the
+        whole device batch instead of per-frame eager sim calls."""
+        import jax
+        import jax.numpy as jnp
+
+        pairs = [self._sim_args(i) for i in frame_indices]
+        keys = jnp.stack([k for k, _ in pairs])
+        sched = np.asarray([i for _, i in pairs])
+        # simulate_frames splits one key per frame; feed per-frame keys
+        # directly so results stay identical to _drops_for_frame.
+        batch = jax.vmap(lambda k, f, s, e, fo: simulate_frame(
+            k, self._sim_cfg, f, s, e, fo))(
+            keys,
+            jnp.asarray(self._sched_fall[sched]),
+            jnp.asarray(self._sched_speed[sched]),
+            jnp.asarray(self._sched_expo[sched]),
+            jnp.asarray(self._sched_focal[sched]))
+        trunc = np.asarray(jax.vmap(
+            lambda k, f: truncated_count(k, self._sim_cfg, f))(
+            keys, jnp.asarray(self._sched_fall[sched])))
+        for bi, fi in enumerate(frame_indices):
+            if fi not in self._trunc_seen:
+                self._trunc_seen.add(fi)
+                self._truncated_total += int(trunc[bi])
+        if self._export_frames is not None:
+            for bi, fi in enumerate(frame_indices):
+                one = jax.tree.map(lambda a: a[bi], batch)
+                self._record_export(fi, one, int(sched[bi]))
+        return batch
+
+    def finish_export(self, root_dir: str):
+        """Write accumulated simulations as reference-format XML under
+        ``root_dir/SEQ/WEATHER/{N}mm/0000_camera0.xml`` (the layout
+        main.py expects particle files in, my_utils.py:172-173).
+        Returns the list of written paths."""
+        paths = []
+        for (seq, weather, fallrate), frames in \
+                getattr(self, "_exports", {}).items():
+            d = os.path.join(root_dir, seq, weather, f"{fallrate}mm")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "0000_camera0.xml")
+            xml_io.write_particles_xml(
+                path, [frames[k] for k in sorted(frames)])
+            paths.append(path)
+        return paths

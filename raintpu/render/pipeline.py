@@ -80,6 +80,7 @@ class RenderJob:
         self._save_pool = cf.ThreadPoolExecutor(max_workers=8)
         self._save_futures = []
         self._overflow_total = 0
+        self._truncated_total = 0
 
     # -- conflict handling ------------------------------------------------
     def _existing_output_dirs(self) -> List[str]:
@@ -302,6 +303,11 @@ class RenderJob:
             fut.result()
         self._save_futures.clear()
         stats["overflowed_drops"] = self._overflow_total
+        stats["truncated_drops"] = self._truncated_total
+        if self._truncated_total:
+            print_warning(
+                f"{self._truncated_total} drop(s) were truncated at pack "
+                "time (population larger than --drop_capacity).")
         return stats
 
     # -- drop sources -----------------------------------------------------
@@ -312,6 +318,7 @@ class RenderJob:
             s.particles[seq][w_i], image_wh=(hw[1], hw[0]),
             render_scale=s.settings["render_scale"], dataset=s.dataset)
         self._frame_ids = sorted(self._streaks)
+        self._trunc_seen = set()
 
     def _drops_for_frame(self, frame_idx: int):
         """DropBatch for one frame index (reference generator.py:321:
@@ -323,7 +330,22 @@ class RenderJob:
         if rec is None:
             from raintpu.particles.schema import empty_drop_batch
             return empty_drop_batch(s.drop_capacity)
+        if frame_idx not in self._trunc_seen:  # batch padding repeats
+            self._trunc_seen.add(frame_idx)
+            self._truncated_total += max(
+                0, len(rec["ip1"]) - s.drop_capacity)
         return pack_drop_batch(rec, s.drop_capacity)
+
+    def _drops_for_frames(self, frame_indices):
+        """Batched drop source: stacked DropBatch with leading dim
+        len(frame_indices). Overridden by the online job with one jitted
+        vmapped simulation call."""
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self._drops_for_frame(i) for i in frame_indices])
 
     def _render_batch(self, batch, textures, edges, cfg, out_seq,
                       stats) -> None:
@@ -332,9 +354,9 @@ class RenderJob:
 
         s = self.spec
         n_real = len(batch)
-        bgs, depths, drops_l, keys = [], [], [], []
+        bgs, depths, keys, fidx = [], [], [], []
         for (i, name, oi, om, (bg, depth)) in batch:
-            drops_l.append(self._drops_for_frame(i))
+            fidx.append(i)
             bgs.append(bg)
             depths.append(depth)
             keys.append(jax.random.PRNGKey(s.seed * 100003 + i))
@@ -342,10 +364,10 @@ class RenderJob:
         while len(bgs) < s.batch_size:
             bgs.append(bgs[-1])
             depths.append(depths[-1])
-            drops_l.append(drops_l[-1])
+            fidx.append(fidx[-1])
             keys.append(keys[-1])
 
-        drops = jax.tree.map(lambda *xs: jnp.stack(xs), *drops_l)
+        drops = self._drops_for_frames(fidx)
         out = render_frames(jnp.asarray(np.stack(bgs)),
                             jnp.asarray(np.stack(depths)),
                             drops, textures, edges,

@@ -157,6 +157,116 @@ def test_online_job(toy):
                      output_root=os.path.join(tmp, "output_online"))
     stats = OnlineRenderJob(spec).run()
     assert stats["rendered"] == 3
+    assert stats["truncated_drops"] == 0
     out = os.path.join(tmp, "output_online", "toy", "seqA", "rain",
                        "25mm", "rainy_image")
     assert len(os.listdir(out)) == 3
+
+
+def test_online_batched_matches_eager(toy):
+    """_drops_for_frames (one vmapped sim call) must bit-match the
+    per-frame eager path — same per-frame keys by construction."""
+    import jax
+    import numpy as np
+    from raintpu.render.online import OnlineRenderJob
+
+    tmp, _xml = toy
+    spec = make_spec(tmp, None, particles={"seqA": [None]})
+    job = OnlineRenderJob(spec)
+    job._setup_drop_source("seqA", 0, spec.weather[0], (H, W))
+
+    batched = job._drops_for_frames([0, 1, 2])
+    for i in range(3):
+        one = job._drops_for_frame(i)
+        got = jax.tree.map(lambda a: np.asarray(a)[i], batched)
+        for f in ("ip1", "ip2", "iw1", "iw2", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(one, f)), getattr(got, f), err_msg=f)
+
+
+def test_online_export_xml(toy):
+    """--export_xml writes reference-format XML that re-parses into the
+    same drop populations (VERDICT item 6)."""
+    from raintpu.particles import xml_io
+    from raintpu.render.online import OnlineRenderJob
+
+    tmp, _xml = toy
+    spec = make_spec(tmp, None, particles={"seqA": [None]},
+                     output_root=os.path.join(tmp, "output_export"),
+                     conflict_strategy="overwrite")
+    job = OnlineRenderJob(spec)
+    job.export_xml = True
+    stats = job.run()
+    assert stats["rendered"] == 3
+
+    root = os.path.join(tmp, "particles_export")
+    paths = job.finish_export(root)
+    assert paths == [os.path.join(root, "seqA", "rain", "25mm",
+                                  "0000_camera0.xml")]
+    streaks = xml_io.load_streaks(paths[0], image_wh=(W, H),
+                                  render_scale=1, dataset="toy")
+    assert sorted(streaks) == [0, 1, 2]
+    # Round-trip: parsed drops match the simulator's populations.
+    job2 = OnlineRenderJob(spec)
+    job2._setup_drop_source("seqA", 0, spec.weather[0], (H, W))
+    one = job2._drops_for_frame(1)
+    n_valid = int(np.asarray(one.valid).sum())
+    assert len(streaks[1]["ip1"]) == n_valid
+
+
+def test_online_truncation_counted(toy):
+    """A capacity far below the population must surface in
+    stats['truncated_drops'] instead of silently losing drops."""
+    from raintpu.render.online import OnlineRenderJob
+
+    tmp, _xml = toy
+    spec = make_spec(tmp, None, particles={"seqA": [None]},
+                     drop_capacity=2,
+                     weather=[{"weather": "rain", "fallrate": 100}],
+                     output_root=os.path.join(tmp, "output_trunc"))
+    stats = OnlineRenderJob(spec).run()
+    assert stats["truncated_drops"] > 0
+
+
+def test_cli_export_xml_wired(toy, monkeypatch, tmp_path):
+    """The --export_xml flag end-to-end through cli.main (was dead
+    wiring: VERDICT missing item 5)."""
+    from raintpu import cli
+
+    tmp, _xml = toy
+    captured = {}
+
+    class FakeJob:
+        export_xml = False
+
+        def __init__(self, spec):
+            captured["spec"] = spec
+
+        def run(self):
+            return {"rendered": 0}
+
+        def finish_export(self, root):
+            captured["export_root"] = root
+            captured["export_flag"] = self.export_xml
+            return [os.path.join(root, "x.xml")]
+
+    import raintpu.render.online as online_mod
+    monkeypatch.setattr(online_mod, "OnlineRenderJob", FakeJob)
+    monkeypatch.setattr(
+        cli, "check_args",
+        lambda argv: __import__("types").SimpleNamespace(
+            args=__import__("argparse").Namespace(
+                dataset="toy", online=True, export_xml=True,
+                particles=str(tmp_path), output=str(tmp_path),
+                texture=None, norm_coeff=None, conflict_strategy=None,
+                rendering_strategy=None, save_envmap=False,
+                frame_start=0, frame_end=None, frame_step=1, frames=None,
+                noise_scale=0.0, noise_std=0.0, opacity_attenuation=1.0,
+                verbose=False, batch_size=2, drop_capacity=8, seed=0),
+            settings=make_spec(tmp, None).settings,
+            sequences=["seqA"], images={}, depth={}, calib={},
+            particles={"seqA": [None]},
+            weather=[{"weather": "rain", "fallrate": 25}]))
+    assert cli.main([]) == 0
+    assert captured["export_flag"] is True
+    assert captured["export_root"] == os.path.join(str(tmp_path), "toy")

@@ -47,6 +47,36 @@ def test_parse_and_finalize(tmp_path):
     assert np.all(rec["max_width"] >= 1)
 
 
+def test_empty_frames_both_parsers(tmp_path):
+    """Self-closing zero-drop frames (<frame ... />) must not swallow
+    the next frame's drops (native-parser regression: it searched for a
+    </frame> that a self-closing frame doesn't have)."""
+    p = os.path.join(str(tmp_path), "0000_camera0.xml")
+    with open(p, "w") as fh:
+        fh.write(
+            '<simulation>'
+            '<frame id="0" t="2000" d="0" rs="0" />'
+            '<frame id="1" t="2000" d="100" rs="1">'
+            '<drop pid="7" wp1="(0.1;1.0;-2.0)" wp2="(0.1;0.98;-2.0)" '
+            'wd1="0.002" wd2="0.002" ip1="(50;40)" ip2="(50;30)" '
+            'iw1="2.0" iw2="1.8"/></frame>'
+            '<frame id="2" t="2000" d="200" rs="0"></frame>'
+            '<frame id="3" t="2000" d="300" rs="1">'
+            '<drop pid="9" wp1="(0.2;1.0;-3.0)" wp2="(0.2;0.98;-3.0)" '
+            'wd1="0.002" wd2="0.002" ip1="(80;70)" ip2="(80;60)" '
+            'iw1="3.0" iw2="2.7"/></frame>'
+            '</simulation>')
+    for prefer_native in (False, True):
+        frames = xml_io.parse_particles_xml_raw(
+            p, prefer_native=prefer_native)
+        label = "native" if prefer_native else "python"
+        assert [f["id"] for f in frames] == [0, 1, 2, 3], label
+        assert [len(f["ip1"]) for f in frames] == [0, 1, 0, 1], label
+        assert frames[1]["pid"][0] == 7, label
+        assert frames[3]["pid"][0] == 9, label
+        assert frames[3]["start"] == 300, label
+
+
 def test_cache_roundtrip(tmp_path):
     p = _synthetic_xml(str(tmp_path))
     a = xml_io.load_streaks(p, image_wh=(256, 128), use_cache=True)
