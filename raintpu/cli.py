@@ -67,6 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=[None, "white", "naive_db"])
     p.add_argument("--output", default=os.path.join("data", "output"))
     p.add_argument("--save_envmap", action="store_true")
+    p.add_argument("--save_saturation", action="store_true",
+                   help="Also compute + save the per-frame saturation "
+                        "mask (reference bad_weather.py:450-460)")
+    p.add_argument("--env_type", type=str, default="ours",
+                   choices=["ours", "pano"],
+                   help="'ours' extrapolates the envmap from the frame; "
+                        "'pano' loads captured panoramas per frame")
+    p.add_argument("--panos", default=os.path.join("data", "panos"),
+                   help="With --env_type pano: directory of per-frame "
+                        "panoramas named like the frame files "
+                        "(reference generator.py:401-403)")
     p.add_argument("--noverbose", action="store_true")
     p.add_argument("--force_particles", action="store_true",
                    help="Re-run particle simulation even if files exist")
@@ -206,7 +217,11 @@ def main(argv=None) -> int:
         streaks_db=a.texture, norm_coeff=a.norm_coeff,
         conflict_strategy=a.conflict_strategy,
         rendering_strategy=a.rendering_strategy,
-        save_envmap=a.save_envmap, frame_start=a.frame_start,
+        save_envmap=a.save_envmap,
+        save_saturation=getattr(a, "save_saturation", False),
+        env_type=getattr(a, "env_type", "ours"),
+        panos_dir=getattr(a, "panos", None),
+        frame_start=a.frame_start,
         frame_end=a.frame_end, frame_step=a.frame_step, frames=a.frames,
         noise_scale=a.noise_scale, noise_std=a.noise_std,
         opacity_attenuation=a.opacity_attenuation, verbose=a.verbose,

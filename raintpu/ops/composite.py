@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,10 @@ class FieldMaps:
     log_att: jnp.ndarray   # (H, W)  sum_i log(1 - alpha_i * lo_i)
     additive: jnp.ndarray  # (H, W, 3) sum_i tex_i * color_i * tau1/tau0
     alpha: jnp.ndarray     # (H, W)  sum_i alpha_i — the rain mask
+    # (H, W, 3) sum_i clip(tex_i * color_i, 0, 1) — the reference's
+    # rainy_saturation_mask (bad_weather.py:450-460); None unless
+    # PipelineConfig.compute_saturation_mask.
+    sat: Optional[jnp.ndarray] = None
 
 
 def blend_coefficients(iw1: jnp.ndarray, iw2: jnp.ndarray,
@@ -92,12 +96,14 @@ def _scatter_bucket(fields: FieldMaps,
                     bucket: RasterBucket,
                     lo: jnp.ndarray,
                     add_rgb: jnp.ndarray,
+                    sat_rgb: Optional[jnp.ndarray] = None,
                     chunk: int = 0) -> FieldMaps:
     """Scatter one bucket's patches into padded field maps.
 
     fields maps are padded to (H + PH, W + PW) by the caller so anchors
     (clipped to [0, W] x [0, H]) can never go out of bounds.
-    lo: (C,) attenuation slope; add_rgb: (C, 3) additive gain per drop.
+    lo: (C,) attenuation slope; add_rgb: (C, 3) additive gain per drop;
+    sat_rgb: (C, 3) pre-tau drop color (saturation mask) or None.
 
     Drops scatter in chunks sized so the transient (chunk, PH, PW, 3)
     value/index buffers stay ~8 M elements regardless of bucket patch
@@ -121,10 +127,13 @@ def _scatter_bucket(fields: FieldMaps,
     anchors = padc(bucket.anchor).reshape(n_chunks, chunk, 2)
     lo_c = padc(lo).reshape(n_chunks, chunk)
     add_c = padc(add_rgb).reshape(n_chunks, chunk, 3)
+    with_sat = sat_rgb is not None and fields.sat is not None
+    sat_c = padc(sat_rgb).reshape(n_chunks, chunk, 3) if with_sat \
+        else jnp.zeros_like(add_c)
 
     def body(carry, xs):
-        log_att, additive, alpha = carry
-        p, a, l, ag = xs
+        log_att, additive, alpha, sat = carry
+        p, a, l, ag, sg = xs
         rows = a[:, 1, None, None] + ii[None, :, None]   # (chunk, ph, 1)
         cols = a[:, 0, None, None] + jj[None, None, :]   # (chunk, 1, pw)
         idx = (rows * wp + cols).reshape(-1)             # (chunk*ph*pw,)
@@ -135,44 +144,59 @@ def _scatter_bucket(fields: FieldMaps,
         addv = p[..., None] * ag[:, None, None, :]       # (chunk, ph, pw, 3)
         additive = additive.reshape(-1, 3).at[idx].add(
             addv.reshape(-1, 3)).reshape(hp, wp, 3)
-        return (log_att, additive, alpha), None
+        if with_sat:
+            # Reference: rainy_saturation_mask += clip(drop_rgb, 0, 1)
+            # per drop (bad_weather.py:452-453,459-460).
+            satv = jnp.clip(p[..., None] * sg[:, None, None, :], 0.0, 1.0)
+            sat = sat.reshape(-1, 3).at[idx].add(
+                satv.reshape(-1, 3)).reshape(hp, wp, 3)
+        return (log_att, additive, alpha, sat), None
 
-    (log_att, additive, alpha), _ = jax.lax.scan(
-        body, (fields.log_att, fields.additive, fields.alpha),
-        (patches, anchors, lo_c, add_c))
-    return FieldMaps(log_att=log_att, additive=additive, alpha=alpha)
+    sat0 = fields.sat if with_sat else jnp.zeros((1, 1, 3), jnp.float32)
+    (log_att, additive, alpha, sat), _ = jax.lax.scan(
+        body, (fields.log_att, fields.additive, fields.alpha, sat0),
+        (patches, anchors, lo_c, add_c, sat_c))
+    return FieldMaps(log_att=log_att, additive=additive, alpha=alpha,
+                     sat=sat if with_sat else fields.sat)
 
 
 def composite_drops(image_hw: Tuple[int, int],
                     buckets: Sequence[RasterBucket],
                     lo_all: jnp.ndarray,
                     add_rgb_all: jnp.ndarray,
+                    sat_rgb_all: Optional[jnp.ndarray] = None,
                     dtype=jnp.float32) -> FieldMaps:
     """Accumulate all buckets into (H, W) field maps.
 
-    lo_all / add_rgb_all are per-*frame-drop* arrays (N,) / (N, 3);
-    bucket rows gather their own drops via ``drop_idx``.
+    lo_all / add_rgb_all / sat_rgb_all are per-*frame-drop* arrays
+    (N,) / (N, 3) / (N, 3 | None); bucket rows gather their own drops
+    via ``drop_idx``.
     """
     h, w = image_hw
     max_ph = max(b.patches.shape[1] for b in buckets)
     max_pw = max(b.patches.shape[2] for b in buckets)
     hp, wp = h + max_ph, w + max_pw
 
+    with_sat = sat_rgb_all is not None
     fields = FieldMaps(
         log_att=jnp.zeros((hp, wp), dtype),
         additive=jnp.zeros((hp, wp, 3), dtype),
-        alpha=jnp.zeros((hp, wp), dtype))
+        alpha=jnp.zeros((hp, wp), dtype),
+        sat=jnp.zeros((hp, wp, 3), dtype) if with_sat else None)
 
     for b in buckets:
         # where(), not multiply: invalid rows may carry NaN/inf payloads
         # (degenerate geometry) and NaN * 0 would still poison the sums.
         lo = jnp.where(b.valid, lo_all[b.drop_idx], 0.0)
         add = jnp.where(b.valid[:, None], add_rgb_all[b.drop_idx], 0.0)
-        fields = _scatter_bucket(fields, b, lo, add)
+        sat = jnp.where(b.valid[:, None], sat_rgb_all[b.drop_idx], 0.0) \
+            if with_sat else None
+        fields = _scatter_bucket(fields, b, lo, add, sat)
 
     return FieldMaps(log_att=fields.log_att[:h, :w],
                      additive=fields.additive[:h, :w],
-                     alpha=fields.alpha[:h, :w])
+                     alpha=fields.alpha[:h, :w],
+                     sat=fields.sat[:h, :w] if with_sat else None)
 
 
 def blend(fogged: jnp.ndarray, fields: FieldMaps) -> jnp.ndarray:

@@ -52,11 +52,14 @@ def plan_window(ph: int, pw: int):
     ph2 = n_tiles * tile_h
     return ph2, pw2, tile_h, n_tiles
 
-# params row layout (19, B*C)
+# params row layout (22, B*C)
 P_M00, P_M01, P_M02, P_M10, P_M11, P_M12, P_M20, P_M21, P_M22 = range(9)
 P_MINCX, P_MINCY, P_WCX, P_WCY, P_SCX, P_SCY, P_LO = range(9, 16)
 P_ADDR, P_ADDG, P_ADDB = range(16, 19)
-N_PARAMS = 19
+# Pre-tau drop color — only read when the kernel runs with the
+# saturation planes (PipelineConfig.compute_saturation_mask).
+P_SATR, P_SATG, P_SATB = range(19, 22)
+N_PARAMS = 22
 
 
 def _erf(x):
@@ -67,15 +70,15 @@ def _erf(x):
 
 
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
-                 th: int, tw: int, n_tiles: int):
+                 th: int, tw: int, n_tiles: int, n_planes: int):
     def kernel(n_ref, ax_ref, ay_ref,
                prm_ref,           # VMEM block (1, 1, 128) — param lane
                ayc_ref,           # VMEM block (1, 1, R, MYP)
                bxc_ref,           # VMEM block (1, 1, R, MXP)
-               a_in, l_in, r_in, g_in, b_in,
-               alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref,
-               scr, sems):
-        del a_in, l_in, r_in, g_in, b_in
+               *refs):
+        # refs: n_planes aliased inputs, n_planes outputs, scr, sems.
+        outs = refs[n_planes:2 * n_planes]
+        scr, sems = refs[2 * n_planes], refs[2 * n_planes + 1]
         b = pl.program_id(0)
         c = pl.program_id(1)
         fi = b * pl.num_programs(1) + c
@@ -89,7 +92,6 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
           for t in range(n_tiles):   # row tiles cap the VMEM working set
             ax = pl.multiple_of(ax_ref[fi], 128)
             ay = pl.multiple_of(ay_ref[fi], 8) + t * tile_h
-            outs = (alpha_ref, logatt_ref, addr_ref, addg_ref, addb_ref)
             wins = [o.at[b, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
                     for o in outs]
             dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
@@ -159,6 +161,12 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
             scr[2] = scr[2] + g * prm(P_ADDR)
             scr[3] = scr[3] + g * prm(P_ADDG)
             scr[4] = scr[4] + g * prm(P_ADDB)
+            if n_planes == 8:
+                # Saturation planes: sum of clip(drop_rgb, 0, 1) per
+                # drop (reference bad_weather.py:452-453,459-460).
+                scr[5] = scr[5] + jnp.clip(g * prm(P_SATR), 0.0, 1.0)
+                scr[6] = scr[6] + jnp.clip(g * prm(P_SATG), 0.0, 1.0)
+                scr[7] = scr[7] + jnp.clip(g * prm(P_SATB), 0.0, 1.0)
 
             dmas2 = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
                      for i, w in enumerate(wins)]
@@ -177,13 +185,17 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
                            bxc: jnp.ndarray,       # (B, C, R, Mx)
                            n_valid: jnp.ndarray,   # (B,) int32
-                           fields,                 # 5 x (B, HP, WP) f32
+                           fields,                 # 5|8 x (B, HP, WP) f32
                            window_hw,              # static (PH2, PW2)
                            tex_hw,                 # static (TH, TW)
                            interpret: bool = False):
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
-    the kernel, so no patch pre-shifting is needed)."""
+    the kernel, so no patch pre-shifting is needed). ``fields`` is the
+    plane tuple (alpha, log_att, add_r, add_g, add_b[, sat_r, sat_g,
+    sat_b]) — 8 planes enable the saturation-mask accumulation."""
+    n_planes = len(fields)
+    assert n_planes in (5, 8), n_planes
     bsz, _, c = params.shape
     r_ranks, modes_y = ayc.shape[2], ayc.shape[3]
     modes_x = bxc.shape[3]
@@ -215,19 +227,20 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
             pl.BlockSpec((1, 1, r_ranks, mxp),
                          lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
         scratch_shapes=[
-            pltpu.VMEM((5, tile_h, pw2), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((n_planes, tile_h, pw2), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_planes,)),
         ],
     )
     out = pl.pallas_call(
         _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0], tex_hw[1],
-                     n_tiles),
+                     n_tiles, n_planes),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32)] * 5,
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4},
+        out_shape=[jax.ShapeDtypeStruct((bsz, hp, wp),
+                                        jnp.float32)] * n_planes,
+        input_output_aliases={6 + i: i for i in range(n_planes)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1),

@@ -569,9 +569,10 @@ def raster_params_frame(drops: DropBatch,
                         apply_defocus: bool,
                         fourier):
     """Per-bucket parameter tensors for the fused Pallas kernel
-    (ops/pallas/fused_kernel): geometry rows of the (19, C) param
-    matrix (blend rows stay zero for the caller to fill), raw anchors,
-    damped DCT coefficients, validity. No patch is materialized.
+    (ops/pallas/fused_kernel): geometry rows of the (N_PARAMS, C) param
+    matrix (blend/saturation rows stay zero for the caller to fill),
+    raw anchors, damped DCT coefficients, validity. No patch is
+    materialized.
     """
     w_img, h_img = image_wh
     bucket_id = _route_buckets(drops, geom, cfg)
@@ -604,8 +605,10 @@ def raster_params_frame(drops: DropBatch,
             m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4], m[:, 5],
             m[:, 6], m[:, 7], m[:, 8],
             minc[:, 0], minc[:, 1], wh_c[:, 0], wh_c[:, 1],
-            s_cols, s_rows, zeros, zeros, zeros, zeros,
-        ], axis=0)                                       # (19, C)
+            s_cols, s_rows,
+            zeros, zeros, zeros, zeros,    # lo, add_rgb (caller fills)
+            zeros, zeros, zeros,           # sat_rgb (caller fills)
+        ], axis=0)                                       # (N_PARAMS, C)
         out.append(dict(params=params,
                         anchor=jnp.stack([ax, ay], -1),
                         ayc=ayc, bxc=bxc, drop_idx=idx,

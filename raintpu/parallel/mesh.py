@@ -173,7 +173,9 @@ def _build_sharded_fused(mesh: Mesh, cfg: PipelineConfig):
 def _out_treedef(cfg: PipelineConfig) -> FrameOutput:
     """Structure-only FrameOutput for out_specs tree mapping."""
     env = 0 if cfg.save_envmap else None
-    return FrameOutput(rainy_image=0, rain_mask=0, envmap=env, overflow=0)
+    sat = 0 if cfg.compute_saturation_mask else None
+    return FrameOutput(rainy_image=0, rain_mask=0, envmap=env,
+                       overflow=0, saturation_mask=sat)
 
 
 def split_drops_for_sp(drops: DropBatch, sp: int) -> DropBatch:

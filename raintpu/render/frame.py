@@ -84,6 +84,10 @@ class FrameOutput:
     rain_mask: jnp.ndarray              # (H, W) accumulated alpha
     envmap: Optional[jnp.ndarray]       # (H, W_env, 3) or None
     overflow: jnp.ndarray               # (n_buckets,) dropped-drop counts
+    # (H, W, 3) sum of clipped per-drop colors — the reference's
+    # rainy_saturation_mask (bad_weather.py:450-460); None unless
+    # cfg.compute_saturation_mask.
+    saturation_mask: Optional[jnp.ndarray] = None
 
 
 def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
@@ -149,7 +153,8 @@ def drop_patches(env_rgb, drops: DropBatch, textures,
     ``drop_offset`` is the global index of the first drop in this
     shard: all per-drop randomness is keyed by (frame key, global drop
     index), so results are bit-invariant to the sharding layout.
-    Returns (buckets, lo (N,), add_rgb (N, 3), overflow).
+    Returns (buckets, lo (N,), add_rgb (N, 3), gains (N, 3), overflow)
+    — gains is the pre-tau drop color (the saturation-mask payload).
     """
     st = cfg.settings
     cam = st.camera
@@ -201,17 +206,18 @@ def drop_patches(env_rgb, drops: DropBatch, textures,
         rendering_strategy=strategy)
     add_rgb = gains * add_scale[:, None]                  # (N, 3)
     overflow = jnp.stack([b.overflow for b in buckets])
-    return buckets, lo, add_rgb, overflow
+    return buckets, lo, add_rgb, gains, overflow
 
 
 def drop_fields(env_rgb, drops: DropBatch, textures, bin_edges,
                 key: jax.Array, cfg: PipelineConfig, drop_offset=0):
     """drop_patches + XLA field accumulation (vmappable/shardable).
     Returns (FieldMaps, overflow)."""
-    buckets, lo, add_rgb, overflow = drop_patches(
+    buckets, lo, add_rgb, gains, overflow = drop_patches(
         env_rgb, drops, textures, bin_edges, key, cfg, drop_offset)
     fields = composite_ops.composite_drops(
-        cfg.image_hw, buckets, lo, add_rgb)
+        cfg.image_hw, buckets, lo, add_rgb,
+        sat_rgb_all=gains if cfg.compute_saturation_mask else None)
     return fields, overflow
 
 
@@ -225,7 +231,9 @@ def finalize_frame(bg, fogged, fields, env_rgb, overflow,
     return FrameOutput(
         rainy_image=rainy, rain_mask=fields.alpha,
         envmap=env_rgb if cfg.save_envmap else None,
-        overflow=overflow)
+        overflow=overflow,
+        saturation_mask=fields.sat if cfg.compute_saturation_mask
+        else None)
 
 
 def render_frame(bg: jnp.ndarray,
@@ -311,7 +319,8 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
         drops, geom_d, tex_hw, tex_idx, cfg.image_wh, cfg.raster,
         apply_defocus=physics, fourier=fourier)
     from raintpu.ops.pallas.fused_kernel import (P_ADDB, P_ADDG, P_ADDR,
-                                                 P_LO)
+                                                 P_LO, P_SATB, P_SATG,
+                                                 P_SATR)
     for bk in buckets:
         idx = bk["drop_idx"]
         v = bk["valid"]
@@ -320,6 +329,10 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
         p = p.at[P_ADDR].set(jnp.where(v, add_rgb[idx, 0], 0.0))
         p = p.at[P_ADDG].set(jnp.where(v, add_rgb[idx, 1], 0.0))
         p = p.at[P_ADDB].set(jnp.where(v, add_rgb[idx, 2], 0.0))
+        if cfg.compute_saturation_mask:
+            p = p.at[P_SATR].set(jnp.where(v, gains[idx, 0], 0.0))
+            p = p.at[P_SATG].set(jnp.where(v, gains[idx, 1], 0.0))
+            p = p.at[P_SATB].set(jnp.where(v, gains[idx, 2], 0.0))
         bk["params"] = p
     overflow = jnp.stack([bk["overflow"] for bk in buckets])
     return buckets, overflow
@@ -328,12 +341,15 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
 def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                        cfg: PipelineConfig,
                        drop_offset=0,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       pano=None):
     """Batched fused raster+composite up to the (padded) field planes.
 
     Returns (fogged, env_save, planes, overflow) where ``planes`` is the
-    5-tuple (alpha, log_att, add_r, add_g, add_b) of (B, HP, WP) padded
-    accumulators. The planes are order-independent SUMS over drops, so a
+    tuple (alpha, log_att, add_r, add_g, add_b[, sat_r, sat_g, sat_b])
+    of (B, HP, WP) padded accumulators (8 planes when
+    cfg.compute_saturation_mask). The planes are order-independent SUMS
+    over drops, so a
     drop-sharded caller (raintpu.parallel) can psum them across the sp
     axis before cropping. ``drop_offset`` is the global index of the
     first drop (may be traced), keeping per-drop RNG layout-invariant.
@@ -342,15 +358,16 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                                                  fused_raster_composite,
                                                  plan_window)
 
-    def stage1(b, d, dr, k):
-        fogged, env_photo, env_save = frame_background(b, d, cfg)
+    def stage1(b, d, dr, k, pn):
+        fogged, env_photo, env_save = frame_background(b, d, cfg, pn)
         buckets, overflow = drop_fused_params(
             env_photo, dr, textures, bin_edges, k, cfg,
             drop_offset=drop_offset)
         return fogged, env_save, buckets, overflow
 
-    fogged, env_save, buckets, overflow = jax.vmap(stage1)(
-        bg, depth, drops, keys)
+    fogged, env_save, buckets, overflow = jax.vmap(
+        stage1, in_axes=(0, 0, 0, 0, None if pano is None else 0))(
+        bg, depth, drops, keys, pano)
 
     h, w = cfg.image_hw
     bspecs = cfg.raster.buckets
@@ -360,8 +377,9 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     hp = -(-(h + max_ph) // SUBLANE) * SUBLANE
     wp = -(-(w + max_pw) // LANE) * LANE
     bsz = bg.shape[0]
+    n_planes = 8 if cfg.compute_saturation_mask else 5
     fields = tuple(jnp.zeros((bsz, hp, wp), jnp.float32)
-                   for _ in range(5))
+                   for _ in range(n_planes))
 
     tex_hw = textures.raw.shape[1:]
     for plan, bk in zip(plans, buckets):
@@ -374,24 +392,29 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
 
 
 def crop_field_planes(planes, cfg: PipelineConfig):
-    """(alpha, log_att, r, g, b) padded planes -> FieldMaps at image size."""
+    """(alpha, log_att, r, g, b[, sr, sg, sb]) padded planes ->
+    FieldMaps at image size."""
     from raintpu.ops.composite import FieldMaps
 
     h, w = cfg.image_hw
-    alpha, log_att, ar, ag, ab = planes
+    alpha, log_att, ar, ag, ab = planes[:5]
     additive = jnp.stack([ar[..., :h, :w], ag[..., :h, :w],
                           ab[..., :h, :w]], axis=-1)
+    sat = None
+    if len(planes) == 8:
+        sat = jnp.stack([p[..., :h, :w] for p in planes[5:]], axis=-1)
     return FieldMaps(log_att=log_att[..., :h, :w], additive=additive,
-                     alpha=alpha[..., :h, :w])
+                     alpha=alpha[..., :h, :w], sat=sat)
 
 
 def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
                          cfg: PipelineConfig,
-                         interpret: bool = False) -> FrameOutput:
+                         interpret: bool = False,
+                         pano=None) -> FrameOutput:
     """Batched render using the fused raster+composite Pallas kernel."""
     fogged, env_save, planes, overflow = fused_field_planes(
         bg, depth, drops, textures, bin_edges, keys, cfg,
-        interpret=interpret)
+        interpret=interpret, pano=pano)
     fmaps = crop_field_planes(planes, cfg)
 
     if env_save is None:
@@ -410,8 +433,10 @@ def render_frames(bg: jnp.ndarray,
                   textures,
                   bin_edges: jnp.ndarray,
                   keys: jax.Array,
-                  cfg: PipelineConfig) -> FrameOutput:
-    """Batched render: leading batch dim on bg/depth/drops/keys.
+                  cfg: PipelineConfig,
+                  pano: Optional[jnp.ndarray] = None) -> FrameOutput:
+    """Batched render: leading batch dim on bg/depth/drops/keys (and
+    pano (B, He, We, 3) when settings.env_type == 'pano').
 
     On TPU the field accumulation runs in the batched Pallas RMW kernel
     (batch folded into the kernel grid); everything else is vmapped.
@@ -419,25 +444,33 @@ def render_frames(bg: jnp.ndarray,
     mode = cfg.resolved_composite_mode()
     if mode == "xla":
         return jax.vmap(
-            lambda b, d, dr, k: render_frame(b, d, dr, textures,
-                                             bin_edges, k, cfg))(
-            bg, depth, drops, keys)
+            lambda b, d, dr, k, pn: render_frame(b, d, dr, textures,
+                                                 bin_edges, k, cfg, pn),
+            in_axes=(0, 0, 0, 0, None if pano is None else 0))(
+            bg, depth, drops, keys, pano)
     if mode == "fused":
         return _render_frames_fused(
             bg, depth, drops, textures, bin_edges, keys, cfg,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", pano=pano)
 
     from raintpu.ops.pallas.composite_kernel import (
         composite_drops_pallas_batched)
 
-    def stage1(b, d, dr, k):
-        fogged, env_photo, env_save = frame_background(b, d, cfg)
-        buckets, lo, add_rgb, overflow = drop_patches(
+    if cfg.compute_saturation_mask:
+        raise NotImplementedError(
+            "compute_saturation_mask is supported by the 'fused' and "
+            "'xla' composite modes (and 'auto'), not the two-stage "
+            "'pallas' mode")
+
+    def stage1(b, d, dr, k, pn):
+        fogged, env_photo, env_save = frame_background(b, d, cfg, pn)
+        buckets, lo, add_rgb, _gains, overflow = drop_patches(
             env_photo, dr, textures, bin_edges, k, cfg)
         return fogged, env_save, buckets, lo, add_rgb, overflow
 
-    fogged, env_save, buckets, lo, add_rgb, overflow = jax.vmap(stage1)(
-        bg, depth, drops, keys)
+    fogged, env_save, buckets, lo, add_rgb, overflow = jax.vmap(
+        stage1, in_axes=(0, 0, 0, 0, None if pano is None else 0))(
+        bg, depth, drops, keys, pano)
 
     fields = composite_drops_pallas_batched(
         cfg.image_hw, buckets, lo, add_rgb)

@@ -55,6 +55,15 @@ class JobSpec:
     conflict_strategy: Optional[str] = None
     rendering_strategy: Optional[str] = None
     save_envmap: bool = False
+    # Compute + save the reference's rainy_saturation_mask
+    # (bad_weather.py:450-460; it accumulates one per frame).
+    save_saturation: bool = False
+    # Environment-map source: 'ours' extrapolates from the frame
+    # (generator.py:400); 'pano' loads a captured panorama per frame
+    # from panos_dir/<frame-file-name> (generator.py:401-403, which
+    # reads data/panos/<file_name>).
+    env_type: str = "ours"
+    panos_dir: Optional[str] = None
     frame_start: int = 0
     frame_end: Optional[int] = None
     frame_step: int = 1
@@ -149,7 +158,22 @@ class RenderJob:
         return dataclasses.replace(
             rs, noise_scale=s.noise_scale, noise_std=s.noise_std,
             opacity_attenuation=s.opacity_attenuation,
-            rendering_strategy=s.rendering_strategy)
+            rendering_strategy=s.rendering_strategy,
+            env_type=s.env_type)
+
+    def _load_pano(self, image_file: str):
+        """Captured panorama for a frame (env_type='pano'): the file of
+        the same name under panos_dir (reference generator.py:401-403)."""
+        s = self.spec
+        if s.env_type != "pano":
+            return None
+        if not s.panos_dir:
+            raise ValueError("env_type='pano' requires panos_dir")
+        path = os.path.join(s.panos_dir, os.path.basename(image_file))
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.float32) / 255.0
 
     # -- output -----------------------------------------------------------
     @staticmethod
@@ -232,12 +256,14 @@ class RenderJob:
                     cfg = PipelineConfig(
                         settings=rsettings, image_hw=tuple(hw),
                         fallrate=float(fallrate), raster=raster,
-                        env_downsample=8, save_envmap=s.save_envmap)
+                        env_downsample=8, save_envmap=s.save_envmap,
+                        compute_saturation_mask=s.save_saturation)
                 else:
                     cfg = PipelineConfig.build(
                         rsettings, hw, fallrate,
                         drop_capacity=s.drop_capacity,
-                        save_envmap=s.save_envmap)
+                        save_envmap=s.save_envmap,
+                        compute_saturation_mask=s.save_saturation)
 
                 idx = self._frame_indices(len(files))
                 prog.start("frame", len(idx))
@@ -264,6 +290,9 @@ class RenderJob:
                             exist_ok=True)
                 os.makedirs(os.path.join(out_dir, "rain_mask"),
                             exist_ok=True)
+                if s.save_saturation:
+                    os.makedirs(os.path.join(out_dir, "saturation_mask"),
+                                exist_ok=True)
                 if s.save_envmap:
                     os.makedirs(os.path.join(out_seq, "envmap"),
                                 exist_ok=True)
@@ -274,6 +303,8 @@ class RenderJob:
                         files[i], dfiles[i],
                         int(s.settings["render_scale"]),
                         int(s.settings["depth_scale"]))
+                    if pair is not None and s.env_type == "pano":
+                        pair = pair + (self._load_pano(files[i]),)
                     return (i, name, oi, om, pair)
 
                 B = s.batch_size
@@ -354,27 +385,34 @@ class RenderJob:
 
         s = self.spec
         n_real = len(batch)
-        bgs, depths, keys, fidx = [], [], [], []
-        for (i, name, oi, om, (bg, depth)) in batch:
+        bgs, depths, keys, fidx, panos = [], [], [], [], []
+        for (i, name, oi, om, pair) in batch:
+            bg, depth = pair[0], pair[1]
             fidx.append(i)
             bgs.append(bg)
             depths.append(depth)
+            panos.append(pair[2] if len(pair) > 2 else None)
             keys.append(jax.random.PRNGKey(s.seed * 100003 + i))
         # Pad a short final batch to the compiled batch size.
         while len(bgs) < s.batch_size:
             bgs.append(bgs[-1])
             depths.append(depths[-1])
             fidx.append(fidx[-1])
+            panos.append(panos[-1])
             keys.append(keys[-1])
 
         drops = self._drops_for_frames(fidx)
+        pano_arr = jnp.asarray(np.stack(panos)) \
+            if panos[0] is not None else None
         out = render_frames(jnp.asarray(np.stack(bgs)),
                             jnp.asarray(np.stack(depths)),
                             drops, textures, edges,
-                            jnp.stack(keys), cfg)
+                            jnp.stack(keys), cfg, pano=pano_arr)
         rainy = np.asarray(out.rainy_image)
         masks = np.asarray(out.rain_mask)
         envs = np.asarray(out.envmap) if cfg.save_envmap else None
+        sats = np.asarray(out.saturation_mask) \
+            if cfg.compute_saturation_mask else None
 
         overflow = int(np.asarray(out.overflow).sum())
         if overflow > 0:
@@ -393,4 +431,10 @@ class RenderJob:
                     self._save_rainy,
                     os.path.join(out_seq, "envmap", name + ".png"),
                     envs[bi]))
+            if sats is not None:
+                self._save_futures.append(self._save_pool.submit(
+                    self._save_rainy,
+                    os.path.join(os.path.dirname(os.path.dirname(om)),
+                                 "saturation_mask", name + ".png"),
+                    np.clip(sats[bi], 0, 1)))
             stats["rendered"] += 1

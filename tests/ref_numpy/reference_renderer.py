@@ -147,12 +147,22 @@ def fov_polygon(drop_pos_parsed, env_shape, radius=10.0, fov_deg=165.0,
 def render_reference(bg, fogged, drops, textures, tex_choice,
                      *, exposure_s, focal_m, f_number=6.0,
                      focus_plane=6.0, opacity_attenuation=1.0,
-                     coc_pixsize=4.65e-6):
+                     coc_pixsize=4.65e-6, rendering_strategy=None):
     """Sequential per-drop render following the reference algorithm.
+
+    rendering_strategy: None (physics) | 'white' | 'naive_db'
+    (bad_weather.py:349-360). In the strategy modes the reference skips
+    the envmap recolor AND the defocus blur (both live in the physics
+    else-branch), keeps the gray texture as the drop color, and uses
+    lo=1 ('white') or the length-opacity without attenuation
+    ('naive_db' as intended — the reference's own branch crashes on a
+    misspelled attribute).
 
     bg/fogged: (H, W, 3) RGB float; drops: host dict record (ip1 rounded
     etc.); textures (K, TH, TW); tex_choice (N,) texture index per drop.
-    Returns (rainy, mask).
+    Returns (rainy, mask, sat_mask) — sat_mask is the reference's
+    rainy_saturation_mask: per-drop sum of clip(drop_rgb, 0, 1)
+    (bad_weather.py:452-453,459-460).
     """
     import cv2
     from scipy.ndimage import gaussian_filter
@@ -160,6 +170,7 @@ def render_reference(bg, fogged, drops, textures, tex_choice,
     h, w = bg.shape[:2]
     rainy = fogged.astype(np.float64).copy()
     mask = np.zeros((h, w))
+    sat_mask = np.zeros((h, w, 3))
 
     # Envmap: use raintpu's gather version (validated separately against
     # the forward scatter in test_envmap) to isolate drop-path diffs.
@@ -226,43 +237,64 @@ def render_reference(bg, fogged, drops, textures, tex_choice,
             patch = np.clip(patch, 0, 1)
             min_c = ip1.astype(int)
 
-        # FOV polygon -> masked solid-angle-weighted color
-        mid = (drops["wp1"][i] + drops["wp2"][i]) / 2.0
-        poly = fov_polygon(mid, env.shape)
-        me = np.zeros(env.shape[:2])
-        cv2.fillConvexPoly(me, np.round(poly).astype(np.int32), 1)
-        me = me.astype(bool)
-        fov_sa = sa[me]
-        fov_env = env_xyY[me]
-        fov_sums = (fov_env * fov_sa[:, None]).sum(0)
-        xy_avg = fov_sums[:2] / fov_sa.sum()
-        avg_fov_lum = fov_sums[2] / total_sa
-        drop_Y = 0.94 * avg_fov_lum + 0.06 * ambient
-
-        tex_Y = rgb_to_xyY(np.repeat(patch[..., None], 3, -1))[..., 2]
-        col = np.zeros(patch.shape + (3,))
-        col[..., 0] = xy_avg[0]
-        col[..., 1] = xy_avg[1]
-        col[..., 2] = tex_Y * drop_Y
-        rgb = xyY_to_rgb(col)
-        rgba = np.concatenate([rgb, patch[..., None]], -1)
-
-        # defocus
-        o = abs(drops["wp1"][i][2])
-        coc = abs(((o - focus_plane) * focal_m ** 2)
-                  / (o * (focus_plane - focal_m) * f_number) / coc_pixsize)
-        shift = int(10 * coc)
-        rgba = np.pad(rgba, ((shift, shift), (shift, shift), (0, 0)))
-        rgba = gaussian_filter(rgba, [coc, coc / 2, 0])
-
-        tmp = min_c - shift
-        min_c = np.array([np.clip(tmp[0], 0, w), np.clip(tmp[1], 0, h)])
-        delta = min_c - tmp
-        rgba = rgba[delta[1]:] if delta[1] >= 0 else rgba[:delta[1]]
-        rgba = rgba[:, delta[0]:] if delta[0] >= 0 else rgba[:, :delta[0]]
-
         d_avg = (iw1 + iw2) / 2
-        lo = opacity_attenuation * d_avg / (float(drops["length"][i]) + d_avg)
+        if rendering_strategy in ("white", "naive_db"):
+            # Strategy modes: gray texture as-is, no recolor, no defocus
+            # (bad_weather.py:349-360 — defocus is physics-branch only).
+            rgb = np.repeat(patch[..., None], 3, -1)
+            rgba = np.concatenate([rgb, patch[..., None]], -1)
+            tmp = min_c
+            min_c = np.array([np.clip(tmp[0], 0, w),
+                              np.clip(tmp[1], 0, h)])
+            delta = min_c - tmp
+            rgba = rgba[delta[1]:] if delta[1] >= 0 else rgba[:delta[1]]
+            rgba = rgba[:, delta[0]:] if delta[0] >= 0 \
+                else rgba[:, :delta[0]]
+            if rendering_strategy == "white":
+                lo = 1.0
+            else:
+                lo = d_avg / (float(drops["length"][i]) + d_avg)
+        else:
+            # FOV polygon -> masked solid-angle-weighted color
+            mid = (drops["wp1"][i] + drops["wp2"][i]) / 2.0
+            poly = fov_polygon(mid, env.shape)
+            me = np.zeros(env.shape[:2])
+            cv2.fillConvexPoly(me, np.round(poly).astype(np.int32), 1)
+            me = me.astype(bool)
+            fov_sa = sa[me]
+            fov_env = env_xyY[me]
+            fov_sums = (fov_env * fov_sa[:, None]).sum(0)
+            xy_avg = fov_sums[:2] / fov_sa.sum()
+            avg_fov_lum = fov_sums[2] / total_sa
+            drop_Y = 0.94 * avg_fov_lum + 0.06 * ambient
+
+            tex_Y = rgb_to_xyY(np.repeat(patch[..., None], 3, -1))[..., 2]
+            col = np.zeros(patch.shape + (3,))
+            col[..., 0] = xy_avg[0]
+            col[..., 1] = xy_avg[1]
+            col[..., 2] = tex_Y * drop_Y
+            rgb = xyY_to_rgb(col)
+            rgba = np.concatenate([rgb, patch[..., None]], -1)
+
+            # defocus
+            o = abs(drops["wp1"][i][2])
+            coc = abs(((o - focus_plane) * focal_m ** 2)
+                      / (o * (focus_plane - focal_m) * f_number)
+                      / coc_pixsize)
+            shift = int(10 * coc)
+            rgba = np.pad(rgba, ((shift, shift), (shift, shift), (0, 0)))
+            rgba = gaussian_filter(rgba, [coc, coc / 2, 0])
+
+            tmp = min_c - shift
+            min_c = np.array([np.clip(tmp[0], 0, w),
+                              np.clip(tmp[1], 0, h)])
+            delta = min_c - tmp
+            rgba = rgba[delta[1]:] if delta[1] >= 0 else rgba[:delta[1]]
+            rgba = rgba[:, delta[0]:] if delta[0] >= 0 \
+                else rgba[:, :delta[0]]
+
+            lo = opacity_attenuation * d_avg / (float(drops["length"][i])
+                                                + d_avg)
         tau_one = exposure_s * lo
 
         y0, x0 = int(min_c[1]), int(min_c[0])
@@ -275,6 +307,7 @@ def render_reference(bg, fogged, drops, textures, tex_choice,
                    + vis[..., :3] * (tau_one / tau_zero))
         rainy[sl_y, sl_x] = np.clip(blended, 0, 1)
         mask[sl_y, sl_x] += vis[..., 3]
+        sat_mask[sl_y, sl_x] += np.clip(vis[..., :3], 0, 1)
 
     diff = rainy.mean() - bg.mean()
-    return np.clip(rainy - diff, 0, 1), mask
+    return np.clip(rainy - diff, 0, 1), mask, sat_mask

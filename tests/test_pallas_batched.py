@@ -95,3 +95,21 @@ def test_render_frames_fused_matches_xla():
     np.testing.assert_allclose(mf, mx, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_f.rainy_image),
                                np.asarray(out_x.rainy_image), atol=2e-4)
+
+    # Saturation planes: the fused 8-plane kernel must match the XLA
+    # scatter accumulation.
+    cfg_s = dataclasses.replace(base, compute_saturation_mask=True)
+    cfg_sx = dataclasses.replace(cfg_s, composite_mode="xla")
+    out_sx = render_frames(bg, depth, drops, bank,
+                           jnp.asarray(db.bin_edges), keys, cfg_sx)
+    out_sf = jax.jit(
+        lambda *a: _render_frames_fused(*a, cfg_s, interpret=True))(
+        bg, depth, drops, bank, jnp.asarray(db.bin_edges), keys)
+    sat_x = np.asarray(out_sx.saturation_mask)
+    sat_f = np.asarray(out_sf.saturation_mask)
+    assert sat_x.shape == (B, H, W, 3)
+    assert np.all(np.isfinite(sat_f))
+    assert sat_x.sum() > 0, "scene must produce a nonzero sat mask"
+    np.testing.assert_allclose(sat_f, sat_x, atol=2e-4)
+    # With the flag off, the output field is absent.
+    assert out_x.saturation_mask is None

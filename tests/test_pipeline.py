@@ -228,6 +228,58 @@ def test_online_truncation_counted(toy):
     assert stats["truncated_drops"] > 0
 
 
+def test_pano_env_type(toy):
+    """env_type='pano' end-to-end: per-frame captured panoramas are
+    used as the environment map (reference generator.py:401-403)."""
+    tmp, xml = toy
+    panos = os.path.join(tmp, "panos")
+    os.makedirs(panos, exist_ok=True)
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        # Strongly colored panos so the drop photometry shifts visibly.
+        arr = np.zeros((32, 64, 3), np.uint8)
+        arr[..., 0] = 255  # red-dominant environment
+        arr[..., 1] = (rng.rand(32, 64) * 40).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(panos, f"{i:06d}.png"))
+
+    spec = make_spec(tmp, xml, env_type="pano", panos_dir=panos,
+                     output_root=os.path.join(tmp, "output_pano"))
+    stats = RenderJob(spec).run()
+    assert stats["rendered"] == 3
+    out_pano = np.asarray(Image.open(os.path.join(
+        tmp, "output_pano", "toy", "seqA", "rain", "25mm",
+        "rainy_image", "000001.png"))).astype(float)
+    out_ours = np.asarray(Image.open(os.path.join(
+        tmp, "output", "toy", "seqA", "rain", "25mm",
+        "rainy_image", "000001.png"))).astype(float)
+    # The env source changes drop colors -> output differs from 'ours'.
+    assert np.abs(out_pano - out_ours).mean() > 0.01
+
+
+def test_pano_missing_dir_raises(toy):
+    tmp, xml = toy
+    spec = make_spec(tmp, xml, env_type="pano",
+                     output_root=os.path.join(tmp, "output_pano2"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="panos_dir"):
+        RenderJob(spec).run()
+
+
+def test_saturation_mask_saved(toy):
+    tmp, xml = toy
+    spec = make_spec(tmp, xml, save_saturation=True,
+                     output_root=os.path.join(tmp, "output_sat"))
+    stats = RenderJob(spec).run()
+    assert stats["rendered"] == 3
+    sat_dir = os.path.join(tmp, "output_sat", "toy", "seqA", "rain",
+                           "25mm", "saturation_mask")
+    assert sorted(os.listdir(sat_dir)) == [
+        "000000.png", "000001.png", "000002.png"]
+    arr = np.asarray(Image.open(os.path.join(sat_dir, "000001.png")))
+    assert arr.shape == (H, W, 3)
+    assert arr.max() > 0  # rain present -> nonzero saturation mass
+
+
 def test_cli_export_xml_wired(toy, monkeypatch, tmp_path):
     """The --export_xml flag end-to-end through cli.main (was dead
     wiring: VERDICT missing item 5)."""

@@ -118,6 +118,29 @@ def test_fused_sharded_sp_layout_invariant():
     assert a2 > 0 and abs(a1 - a2) / max(a1, 1e-9) < 1e-5
 
 
+def test_sharded_saturation_mask_sp_invariant():
+    """The saturation planes must survive the sp psum and match the
+    unsharded fused path for any drop partitioning."""
+    import dataclasses
+    from raintpu.data.textures import texture_bank
+    from raintpu.render.frame import render_frames as rf
+
+    bg, depth, drops, db, keys, cfg = _setup(B=4)
+    cfg = dataclasses.replace(cfg, composite_mode="fused",
+                              compute_saturation_mask=True)
+    bank = texture_bank(db)
+    edges = jnp.asarray(db.bin_edges)
+    ref = rf(bg, depth, drops, bank, edges, keys, cfg)
+    mesh = make_mesh(sp=2)
+    out = render_frames_sharded(mesh, bg, depth,
+                                split_drops_for_sp(drops, 2), bank,
+                                edges, keys, cfg)
+    sat_ref = np.asarray(ref.saturation_mask)
+    sat = np.asarray(out.saturation_mask)
+    assert sat.shape == sat_ref.shape and sat_ref.sum() > 0
+    np.testing.assert_allclose(sat, sat_ref, atol=1e-5)
+
+
 def test_sp_psum_accumulates_all_drops():
     # Splitting drops across sp must not lose any alpha mass.
     bg, depth, drops, db, keys, cfg = _setup(B=2)
