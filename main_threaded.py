@@ -22,21 +22,49 @@ import time
 
 
 def build_shards(args, passthrough):
+    """(intensity x frame-window x scene-block) shard enumeration —
+    the reference's three axes (``main_threaded.py:103-154``; its
+    defaults were frames_per_thread=41, 25 scenes/shard). Frame windows
+    require ``--frame_end`` so the range is known without touching the
+    dataset."""
     seqs = args.sequences.split(",") if args.sequences else [""]
+    fpt = getattr(args, "frames_per_thread", 0) or 0
+    f0 = getattr(args, "frame_start", 0) or 0
+    f1 = getattr(args, "frame_end", None)
+    if fpt > 0:
+        if f1 is None:
+            raise SystemExit(
+                "--frames_per_thread requires --frame_end (the farm "
+                "can't discover sequence lengths without rendering)")
+        windows = [(w, min(w + fpt, f1)) for w in range(f0, f1, fpt)]
+    else:
+        windows = [None]
+
     shards = []
     for intensity in args.intensity.split(","):
-        for i in range(0, len(seqs), args.scenes_per_thread):
-            block = seqs[i:i + args.scenes_per_thread]
-            cmd = [sys.executable, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "main.py"),
-                "--dataset", args.dataset,
-                "--intensity", intensity,
-                "--conflict_strategy", "skip", "--noverbose"]
-            if any(block):
-                cmd += ["--sequences", ",".join(block)]
-            cmd += passthrough
-            tag = f"i{intensity}_s{i}"
-            shards.append((tag, cmd))
+        for win in windows:
+            for i in range(0, len(seqs), args.scenes_per_thread):
+                block = seqs[i:i + args.scenes_per_thread]
+                cmd = [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "main.py"),
+                    "--dataset", args.dataset,
+                    "--intensity", intensity,
+                    "--conflict_strategy", "skip", "--noverbose"]
+                if any(block):
+                    cmd += ["--sequences", ",".join(block)]
+                tag = f"i{intensity}_s{i}"
+                if win is not None:
+                    cmd += ["--frame_start", str(win[0]),
+                            "--frame_end", str(win[1])]
+                    tag += f"_f{win[0]}"
+                else:
+                    # No frame sharding: forward the plain bounds.
+                    if f0:
+                        cmd += ["--frame_start", str(f0)]
+                    if f1 is not None:
+                        cmd += ["--frame_end", str(f1)]
+                cmd += passthrough
+                shards.append((tag, cmd))
     return shards
 
 
@@ -49,6 +77,12 @@ def main(argv=None) -> int:
                     help="Concurrent child renderers (reference used 10 "
                          "CPU workers; device-bound children need fewer)")
     ap.add_argument("--scenes_per_thread", type=int, default=25)
+    ap.add_argument("--frames_per_thread", type=int, default=0,
+                    help="Also shard each sequence into frame windows of "
+                         "this many frames (reference default 41; needs "
+                         "--frame_end). 0 = no frame sharding.")
+    ap.add_argument("--frame_start", type=int, default=0)
+    ap.add_argument("--frame_end", type=int, default=None)
     ap.add_argument("--log_dir", default=".")
     args, passthrough = ap.parse_known_args(argv)
 

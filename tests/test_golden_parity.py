@@ -176,11 +176,12 @@ def _make_rec(ip1_img, ip2_img, iw1, iw2, z):
 
 def _parity_metrics(bg, depth, rec, *, rendering_strategy=None,
                     buckets=((48, 32, 6, 64), (128, 96, 16, 32)),
-                    capacity=64):
+                    capacity=64, db=None):
     """Run oracle + raintpu on one scene; return the metric dict."""
     import cv2
 
-    db = procedural_streak_database()
+    if db is None:
+        db = procedural_streak_database()
     bank = texture_bank(db)
     n = len(rec["ip1"])
     assert n > 0
