@@ -36,6 +36,12 @@ from raintpu.ops import rasterize as raster_ops
 from raintpu.particles.schema import DropBatch
 from raintpu.render.camera import RenderSettings
 
+# Largest per-pallas_call frame batch for the fused kernel. Batches
+# >= 14 fault the TPU worker on big-window buckets (Mosaic/runtime —
+# see BASELINE.md "Known envelope"); fused_field_planes chunks larger
+# batches into independent kernel calls over disjoint plane slices.
+MAX_KERNEL_BATCH = 12
+
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
@@ -378,16 +384,33 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     wp = -(-(w + max_pw) // LANE) * LANE
     bsz = bg.shape[0]
     n_planes = 8 if cfg.compute_saturation_mask else 5
-    fields = tuple(jnp.zeros((bsz, hp, wp), jnp.float32)
-                   for _ in range(n_planes))
-
     tex_hw = textures.raw.shape[1:]
-    for plan, bk in zip(plans, buckets):
-        n_valid = jnp.sum(bk["valid"].astype(jnp.int32), axis=1)
-        fields = fused_raster_composite(
-            bk["params"], bk["anchor"], bk["ayc"], bk["bxc"], n_valid,
-            fields, window_hw=plan, tex_hw=tuple(tex_hw),
-            interpret=interpret)
+
+    # Mosaic envelope guard: kernel batches >= 14 fault the TPU worker
+    # on large-window buckets (BASELINE.md "Known envelope"; bisected:
+    # 12 ok, 14 crashes — batch-invariant bounds, interpret matches
+    # XLA, so it's a runtime issue, not indexing). Chunk the batch so
+    # each pallas_call sees <= MAX_KERNEL_BATCH frames; chunks write
+    # disjoint field planes and concatenate, so results are identical.
+    chunks = []
+    for c0 in range(0, bsz, MAX_KERNEL_BATCH):
+        c1 = min(c0 + MAX_KERNEL_BATCH, bsz)
+        fields = tuple(jnp.zeros((c1 - c0, hp, wp), jnp.float32)
+                       for _ in range(n_planes))
+        for plan, bk in zip(plans, buckets):
+            n_valid = jnp.sum(bk["valid"][c0:c1].astype(jnp.int32),
+                              axis=1)
+            fields = fused_raster_composite(
+                bk["params"][c0:c1], bk["anchor"][c0:c1],
+                bk["ayc"][c0:c1], bk["bxc"][c0:c1], n_valid,
+                fields, window_hw=plan, tex_hw=tuple(tex_hw),
+                interpret=interpret)
+        chunks.append(fields)
+    if len(chunks) == 1:
+        fields = chunks[0]
+    else:
+        fields = tuple(jnp.concatenate([ch[i] for ch in chunks], axis=0)
+                       for i in range(n_planes))
     return fogged, env_save, fields, overflow
 
 

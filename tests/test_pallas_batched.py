@@ -113,3 +113,42 @@ def test_render_frames_fused_matches_xla():
     np.testing.assert_allclose(sat_f, sat_x, atol=2e-4)
     # With the flag off, the output field is absent.
     assert out_x.saturation_mask is None
+
+
+def test_fused_batch_chunking_matches_xla():
+    """Batches above MAX_KERNEL_BATCH are split into multiple kernel
+    calls over disjoint plane slices (TPU Mosaic envelope guard) — the
+    result must be identical to the unchunked XLA composite."""
+    import raintpu.render.frame as fm
+
+    assert fm.MAX_KERNEL_BATCH == 12
+    W, H, cap, B = 64, 32, 16, 16  # B > MAX_KERNEL_BATCH -> 2 chunks
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    sim = SimConfig(image_wh=(W, H), focal_px=(250.0, 250.0),
+                    exposure_s=2e-3, capacity=cap, z_max=5.0)
+    drops = simulate_frames(jax.random.PRNGKey(7), sim,
+                            jnp.full(B, 200.0), jnp.full(B, 5.0),
+                            jnp.full(B, 2e-3), jnp.ones(B))
+    rng = np.random.RandomState(2)
+    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(B, H, W) * 40 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(8), B)
+    raster = RasterConfig(buckets=(BucketSpec(24, 24, 3, cap),
+                                   BucketSpec(48, 48, 6, 8)))
+    settings = RenderSettings(camera=CameraSettings(wh=(W, H),
+                                                    ccd_wh=(W, H)))
+    base = PipelineConfig(settings=settings, image_hw=(H, W),
+                          fallrate=200.0, raster=raster, env_downsample=8)
+    out_x = render_frames(bg, depth, drops, bank,
+                          jnp.asarray(db.bin_edges), keys,
+                          dataclasses.replace(base, composite_mode="xla"))
+    from raintpu.render.frame import _render_frames_fused
+    out_f = jax.jit(
+        lambda *a: _render_frames_fused(*a, base, interpret=True))(
+        bg, depth, drops, bank, jnp.asarray(db.bin_edges), keys)
+    assert float(np.asarray(out_x.rain_mask).sum()) > 0
+    np.testing.assert_allclose(np.asarray(out_f.rain_mask),
+                               np.asarray(out_x.rain_mask), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f.rainy_image),
+                               np.asarray(out_x.rainy_image), atol=2e-4)
