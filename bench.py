@@ -32,7 +32,11 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 12
+    # The fused kernel runs in <= 12-frame chunks (MAX_KERNEL_BATCH —
+    # the TPU worker faults at kernel batches >= 14); batch 24 = two
+    # chunks amortizes the per-step fixed cost best. Batch 36+ exceeds
+    # this environment's remote-compile payload limit (HTTP 413).
+    BATCH = 24
     CAPACITY = 320
     FALLRATE = 10.0
 

@@ -77,7 +77,7 @@ def bench_kitti_sweep():
 
     from raintpu.render.frame import render_frames
 
-    B = 4
+    B = 12
     total = 0.0
     for fr in (1, 5, 25, 50):
         cfg, _, drops, bg, depth, keys, bank, edges = _common(
@@ -101,7 +101,7 @@ def bench_cityscapes_envmap():
 
     from raintpu.render.frame import render_frames
 
-    B = 4
+    B = 12
     cfg, _, drops, bg, depth, keys, bank, edges = _common(
         B, 1024, 512, 25, 512, save_envmap=True)
 
@@ -201,7 +201,7 @@ def bench_online():
     from raintpu.physics.simulator import simulate_frames
     from raintpu.render.frame import render_frames
 
-    B = 8
+    B = 12
     cfg, sim_cfg, _, bg, depth, keys, bank, edges = _common(
         B, 1242, 375, 25, 512)
 
