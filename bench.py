@@ -7,6 +7,13 @@ Baseline target (BASELINE.md): >= 500 images/sec/chip on TPU v5e with
 precomputed particles. Drops are simulated on device once (outside the
 timed loop, like the reference's precomputed XML), then the batched
 render step is timed steady-state.
+
+IMPORTANT (this TPU stack): frame data MUST be passed as jit
+*arguments*, never closed over. Closed-over arrays become HLO constants
+and the TPU compiler constant-folds parts of the drop geometry WRONG
+(y-components fold to zero -> the kernel silently renders nothing).
+See CLAUDE.md "Environment landmines". The bench asserts nonzero rain
+mass so a silent no-op render can never produce a headline number.
 """
 
 import json
@@ -32,10 +39,6 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    # The fused kernel runs in <= 12-frame chunks (MAX_KERNEL_BATCH —
-    # the TPU worker faults at kernel batches >= 14); batch 24 = two
-    # chunks amortizes the per-step fixed cost best. Batch 36+ exceeds
-    # this environment's remote-compile payload limit (HTTP 413).
     BATCH = 24
     CAPACITY = 320
     FALLRATE = 10.0
@@ -75,32 +78,39 @@ def main():
 
     iters = 10
 
-    def step(keys):
+    def step(keys, bg, depth, drops, tex, edges):
         out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
         return (jnp.sum(out.rainy_image[:, ::97, ::97])
                 + jnp.sum(out.rain_mask[:, ::97, ::97]))
 
-    def many(base_key):
+    def many(keys, bg, depth, drops, tex, edges):
         # All iterations stay on device; ONE scalar fetch at the end
         # forces completion. (Per-iteration fetches pay a ~50 ms tunnel
         # round trip each under axon, and plain block_until_ready
         # returns before the device finishes.)
         def body(i, acc):
             k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
-            return acc + step(k)
+            return acc + step(k, bg, depth, drops, tex, edges)
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     many_jit = jax.jit(many)
-    float(many_jit(keys))  # warmup/compile
+    data = (keys, bg, depth, drops, tex, edges)
+    float(many_jit(*data))  # warmup/compile
 
-    # Guard the workload-fit bucket config: no drop may overflow.
-    overflow = int(jax.jit(lambda k: jnp.sum(render_frames(
-        bg, depth, drops, tex, edges, k, cfg).overflow))(keys))
+    # Honesty guards, all with data passed as jit ARGS (see module
+    # docstring): the render must produce actual rain and no drop may
+    # overflow its bucket.
+    @jax.jit
+    def guard(keys, bg, depth, drops, tex, edges):
+        out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
+        return jnp.sum(out.rain_mask), jnp.sum(out.overflow)
+
+    mask_mass, overflow = (float(v) for v in guard(*data))
+    assert mask_mass > 1.0, f"no rain rendered (mask mass {mask_mass})"
     assert overflow == 0, f"{overflow} drops overflowed bucket capacity"
 
-
     t0 = time.perf_counter()
-    acc = float(many_jit(keys))
+    acc = float(many_jit(*data))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
 
@@ -109,6 +119,7 @@ def main():
         "metric": "KITTI 1242x375 render throughput @10mm/hr "
                   f"(batch={BATCH}, ~{drops_per_frame:.0f} drops/frame, "
                   f"drops/s={imgs_per_sec * drops_per_frame:.0f}, "
+                  f"mask_mass={mask_mass:.1f}, "
                   f"backend={jax.default_backend()})",
         "value": round(imgs_per_sec, 2),
         "unit": "images/s",

@@ -8,6 +8,11 @@ this suite covers the remaining configs:
 configs: kitti_sweep, cityscapes_envmap, nuscenes_6cam, online_4k
 (default: all). Each prints one JSON line. All timing is device-side
 looped with a single scalar fetch (see bench.py for why).
+
+IMPORTANT (this TPU stack): every step function takes its frame data
+as *arguments* — closed-over arrays become HLO constants and the TPU
+compiler constant-folds parts of the drop geometry to zero (silent
+no-op render). See CLAUDE.md "Environment landmines".
 """
 
 from __future__ import annotations
@@ -18,18 +23,30 @@ import sys
 import time
 
 
-def _timed(step, iters=6):
+def _timed(step, data, iters=6):
+    """Time `step(i, *data)` device-side. `data` are jit ARGUMENTS
+    (never constants — see module docstring)."""
     import jax
 
-    def many():
-        return jax.lax.fori_loop(0, iters, lambda i, a: a + step(i), 0.0)
+    def many(*args):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, a: a + step(i, *args), 0.0)
 
     f = jax.jit(many)
-    float(f())
+    float(f(*data))
     t0 = time.perf_counter()
-    v = float(f())
+    v = float(f(*data))
     assert v == v, "NaN in benchmark output"
     return (time.perf_counter() - t0) / iters
+
+
+def _assert_rain(out):
+    """Guard against the silent no-op render (zero rain mass)."""
+    import jax.numpy as jnp
+
+    mass = float(jnp.sum(out.rain_mask))
+    assert mass > 1e-2, f"no rain rendered (mask mass {mass})"
+    return mass
 
 
 def _common(B, W, H, fallrate, capacity, settings=None, **cfg_kw):
@@ -83,12 +100,16 @@ def bench_kitti_sweep():
         cfg, _, drops, bg, depth, keys, bank, edges = _common(
             B, 1242, 375, fr, 512)
 
-        def step(i, _c=cfg, _d=drops, _k=keys):
-            k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(_k)
-            out = render_frames(bg, depth, _d, bank, edges, k, _c)
+        def step(i, keys, bg, depth, drops, bank, edges, _c=cfg):
+            k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+            out = render_frames(bg, depth, drops, bank, edges, k, _c)
             return jnp.sum(out.rain_mask[:, ::97, ::97])
 
-        total += _timed(step)
+        # render_frames is itself jitted (static cfg): direct call
+        # passes the data as arguments, never constants.
+        _assert_rain(render_frames(bg, depth, drops, bank, edges, keys,
+                                   cfg))
+        total += _timed(step, (keys, bg, depth, drops, bank, edges))
     rate = 4 * B / total
     return {"metric": "KITTI sweep {1,5,25,50}mm/hr", "value": round(rate, 2),
             "unit": "images/s", "vs_baseline": round(rate / 500.0, 3)}
@@ -101,17 +122,20 @@ def bench_cityscapes_envmap():
 
     from raintpu.render.frame import render_frames
 
-    B = 12
+    # Batch 4 measured faster than 12 here: the full-res envmap
+    # generation dominates and scales with B (182.9 vs 165.5 img/s).
+    B = 4
     cfg, _, drops, bg, depth, keys, bank, edges = _common(
         B, 1024, 512, 25, 512, save_envmap=True)
 
-    def step(i):
+    def step(i, keys, bg, depth, drops, bank, edges):
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
         return (jnp.sum(out.rain_mask[:, ::97, ::97])
                 + jnp.sum(out.envmap[:, ::131, ::131]))
 
-    rate = B / _timed(step)
+    _assert_rain(render_frames(bg, depth, drops, bank, edges, keys, cfg))
+    rate = B / _timed(step, (keys, bg, depth, drops, bank, edges))
     return {"metric": "Cityscapes 1024x512 + envmap @25mm/hr",
             "value": round(rate, 2), "unit": "images/s",
             "vs_baseline": round(rate / 500.0, 3)}
@@ -163,9 +187,18 @@ def bench_nuscenes_6cam():
     drops = jax.jit(jax.vmap(
         lambda d: compact_drop_batch(d, render_cap)))(drops)
 
+    # Workload-fit 3-bucket config (the default 4-bucket program at
+    # this capacity overflows the remote compile helper): ~88% of the
+    # 100 mm/hr population is 1-2 px wide -> bucket 0; the giant-streak
+    # bucket is unused (overflow assert guards the fit).
+    from raintpu.ops.rasterize import BucketSpec
+    raster = RasterConfig(buckets=(
+        BucketSpec(40, 32, 5, render_cap, 16, 8),
+        BucketSpec(96, 64, 12, max(256, render_cap // 4), 24, 10),
+        BucketSpec(320, 192, 32, max(64, render_cap // 16), 16, 8),
+    ))
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
-                         fallrate=fallrate,
-                         raster=RasterConfig.default(render_cap))
+                         fallrate=fallrate, raster=raster)
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
@@ -174,16 +207,17 @@ def bench_nuscenes_6cam():
     bank = texture_bank(db)
     edges = jnp.asarray(db.bin_edges)
 
-    overflow = int(np.asarray(jax.jit(lambda k: jnp.sum(render_frames(
-        bg, depth, drops, bank, edges, k, cfg).overflow))(keys)))
+    out = render_frames(bg, depth, drops, bank, edges, keys, cfg)
+    overflow = int(np.asarray(jnp.sum(out.overflow)))
     assert overflow == 0, f"{overflow} drops overflowed bucket capacity"
+    _assert_rain(out)
 
-    def step(i):
+    def step(i, keys, bg, depth, drops, bank, edges):
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
         return jnp.sum(out.rain_mask[:, ::97, ::97])
 
-    rate = B / _timed(step)
+    rate = B / _timed(step, (keys, bg, depth, drops, bank, edges))
     dpf = float(counts.mean())
     return {"metric": f"nuScenes 6x1600x900 rig @100mm/hr "
                       f"(full population ~{dpf:.0f} drops/frame, "
@@ -205,7 +239,7 @@ def bench_online():
     cfg, sim_cfg, _, bg, depth, keys, bank, edges = _common(
         B, 1242, 375, 25, 512)
 
-    def step(i):
+    def step(i, keys, bg, depth, bank, edges):
         k0 = jax.random.fold_in(jax.random.PRNGKey(3), i)
         drops = simulate_frames(k0, sim_cfg, jnp.full(B, 25.0),
                                 jnp.full(B, 8.0), jnp.full(B, 2e-3),
@@ -214,7 +248,11 @@ def bench_online():
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
         return jnp.sum(out.rain_mask[:, ::97, ::97])
 
-    rate = B / _timed(step)
+    drops0 = simulate_frames(jax.random.PRNGKey(3), sim_cfg,
+                             jnp.full(B, 25.0), jnp.full(B, 8.0),
+                             jnp.full(B, 2e-3), jnp.ones(B))
+    _assert_rain(render_frames(bg, depth, drops0, bank, edges, keys, cfg))
+    rate = B / _timed(step, (keys, bg, depth, bank, edges))
     return {"metric": "online sim+render KITTI @25mm/hr",
             "value": round(rate, 2), "unit": "images/s",
             "vs_baseline": round(rate / 500.0, 3)}
@@ -238,13 +276,15 @@ def bench_sharded():
         B, 1242, 375, 10, 320, composite_mode="fused")
     mesh = make_mesh(n_devices=n, sp=1)
 
-    def step(i):
+    def step(i, keys, bg, depth, drops, bank, edges):
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames_sharded(mesh, bg, depth, drops, bank,
                                     edges, k, cfg)
         return jnp.sum(out.rain_mask[:, ::97, ::97])
 
-    rate = B / _timed(step)
+    _assert_rain(render_frames_sharded(mesh, bg, depth, drops, bank,
+                                       edges, keys, cfg))
+    rate = B / _timed(step, (keys, bg, depth, drops, bank, edges))
     return {"metric": f"sharded dp={n} x sp=1 KITTI @10mm/hr (fused "
                       "kernel under shard_map)",
             "value": round(rate, 2), "unit": "images/s",
