@@ -36,11 +36,14 @@ from raintpu.ops import rasterize as raster_ops
 from raintpu.particles.schema import DropBatch
 from raintpu.render.camera import RenderSettings
 
-# Largest per-pallas_call frame batch for the fused kernel. Batches
-# >= 14 fault the TPU worker on big-window buckets (Mosaic/runtime —
-# see BASELINE.md "Known envelope"); fused_field_planes chunks larger
-# batches into independent kernel calls over disjoint plane slices.
-MAX_KERNEL_BATCH = 12
+# Largest per-pallas_call frame batch for the fused kernel.
+# ROUND-2 REVISION: the old batch>=14 "Mosaic fault" was an artifact of
+# bench programs embedding ~100 MB of frame data as HLO constants (the
+# constant-closure landmine, CLAUDE.md) — with data passed as jit args,
+# batch 16/24 single-call kernels run fine and are ~5% faster than
+# 12-frame chunks (673 vs 641 img/s at batch 24). The chunk mechanism
+# stays as a guard for extreme batches only.
+MAX_KERNEL_BATCH = 128
 
 
 @dataclasses.dataclass(frozen=True)
