@@ -69,16 +69,87 @@ def _erf(x):
     return jnp.tanh(1.1283791671 * x + 0.1009055155 * x3)
 
 
+def _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks, modes_y,
+                modes_x, th, tw, tile_h, pw2):
+    """Evaluate the drop's gray patch over the window grid (pure VPU)."""
+    ii = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, pw2), 0).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, pw2), 1).astype(jnp.float32)
+    lx = jj + (ax.astype(jnp.float32) - prm(P_MINCX))
+    ly = ii + (ay.astype(jnp.float32) - prm(P_MINCY))
+
+    hx = prm(P_M00) * lx + prm(P_M01) * ly + prm(P_M02)
+    hy = prm(P_M10) * lx + prm(P_M11) * ly + prm(P_M12)
+    hz = prm(P_M20) * lx + prm(P_M21) * ly + prm(P_M22)
+    hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
+    inv_hz = 1.0 / hz
+    xhat = (hx * inv_hz + 0.5) * (1.0 / tw)
+    yhat = (hy * inv_hz + 0.5) * (1.0 / th)
+
+    # Damped DCT series via Chebyshev recurrence, rank by rank.
+    ty = jnp.cos(jnp.pi * yhat)
+    tx = jnp.cos(jnp.pi * xhat)
+    g = jnp.zeros((tile_h, pw2), jnp.float32)
+    for r in range(r_ranks):
+        uy = jnp.full((tile_h, pw2), ayc_ref[0, 0, r, 0])
+        cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
+        cm = ty
+        for m in range(1, modes_y):
+            uy = uy + ayc_ref[0, 0, r, m] * cm
+            cm, cm_prev = 2.0 * ty * cm - cm_prev, cm
+        vx = jnp.full((tile_h, pw2), bxc_ref[0, 0, r, 0])
+        cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
+        cm = tx
+        for m in range(1, modes_x):
+            vx = vx + bxc_ref[0, 0, r, m] * cm
+            cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
+        g = g + uy * vx
+
+    # erf soft window (blurred content box) + mirror bound.
+    sqrt2 = 1.4142135
+    scx = jnp.maximum(prm(P_SCX), 1e-3)
+    scy = jnp.maximum(prm(P_SCY), 1e-3)
+    wcx = prm(P_WCX)
+    wcy = prm(P_WCY)
+    win = (0.5 * (_erf((lx + 0.5) / (sqrt2 * scx))
+                  - _erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
+           * 0.5 * (_erf((ly + 0.5) / (sqrt2 * scy))
+                    - _erf((ly - (wcy - 0.5)) / (sqrt2 * scy))))
+    win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
+                    & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+    g = jnp.clip(g, 0.0, 1.0) * win
+    return jnp.where(g > ALPHA_CUTOFF, g, 0.0)
+
+
+def _accum_rows(scr_bank, g, prm, n_planes):
+    """scr_bank[i] += contribution_i(g) for the plane layout."""
+    lo = prm(P_LO)
+    scr_bank[0] = scr_bank[0] + g
+    scr_bank[1] = scr_bank[1] + jnp.log(jnp.maximum(1.0 - g * lo,
+                                                    LOG_EPS))
+    scr_bank[2] = scr_bank[2] + g * prm(P_ADDR)
+    scr_bank[3] = scr_bank[3] + g * prm(P_ADDG)
+    scr_bank[4] = scr_bank[4] + g * prm(P_ADDB)
+    if n_planes == 8:
+        # Saturation planes: sum of clip(drop_rgb, 0, 1) per drop
+        # (reference bad_weather.py:452-453,459-460).
+        scr_bank[5] = scr_bank[5] + jnp.clip(g * prm(P_SATR), 0.0, 1.0)
+        scr_bank[6] = scr_bank[6] + jnp.clip(g * prm(P_SATG), 0.0, 1.0)
+        scr_bank[7] = scr_bank[7] + jnp.clip(g * prm(P_SATB), 0.0, 1.0)
+
+
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
                  th: int, tw: int, n_tiles: int, n_planes: int):
+    """Serial (multi-tile) kernel: read -> compute -> RMW per grid step.
+    Used when the window is row-tiled (big buckets); the single-tile
+    hot buckets use the pipelined kernel below."""
     def kernel(n_ref, ax_ref, ay_ref,
                prm_ref,           # VMEM block (1, 1, 128) — param lane
                ayc_ref,           # VMEM block (1, 1, R, MYP)
                bxc_ref,           # VMEM block (1, 1, R, MXP)
-               *refs):
-        # refs: n_planes aliased inputs, n_planes outputs, scr, sems.
-        outs = refs[n_planes:2 * n_planes]
-        scr, sems = refs[2 * n_planes], refs[2 * n_planes + 1]
+               in_f, out_f, scr, sems):
+        # in_f is the aliased input (B, P, HP, WP); out_f the output.
         b = pl.program_id(0)
         c = pl.program_id(1)
         fi = b * pl.num_programs(1) + c
@@ -92,88 +163,141 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
           for t in range(n_tiles):   # row tiles cap the VMEM working set
             ax = pl.multiple_of(ax_ref[fi], 128)
             ay = pl.multiple_of(ay_ref[fi], 8) + t * tile_h
-            wins = [o.at[b, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
-                    for o in outs]
-            dmas = [pltpu.make_async_copy(w, scr.at[i], sems.at[i])
-                    for i, w in enumerate(wins)]
-            for d in dmas:
-                d.start()
+            # One strided descriptor moves all planes of the window.
+            win = out_f.at[b, :, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
+            rd = pltpu.make_async_copy(win, scr, sems)
+            rd.start()
 
-            # ---- evaluate the patch over the window grid (VPU) ----
-            ii = jax.lax.broadcasted_iota(
-                jnp.int32, (tile_h, pw2), 0).astype(jnp.float32)
-            jj = jax.lax.broadcasted_iota(
-                jnp.int32, (tile_h, pw2), 1).astype(jnp.float32)
-            lx = jj + (ax.astype(jnp.float32) - prm(P_MINCX))
-            ly = ii + (ay.astype(jnp.float32) - prm(P_MINCY))
-
-            hx = (prm(P_M00) * lx + prm(P_M01) * ly
-                  + prm(P_M02))
-            hy = (prm(P_M10) * lx + prm(P_M11) * ly
-                  + prm(P_M12))
-            hz = (prm(P_M20) * lx + prm(P_M21) * ly
-                  + prm(P_M22))
-            hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
-            inv_hz = 1.0 / hz
-            xhat = (hx * inv_hz + 0.5) * (1.0 / tw)
-            yhat = (hy * inv_hz + 0.5) * (1.0 / th)
-
-            # Damped DCT series via Chebyshev recurrence, rank by rank.
-            ty = jnp.cos(jnp.pi * yhat)
-            tx = jnp.cos(jnp.pi * xhat)
-            g = jnp.zeros((tile_h, pw2), jnp.float32)
-            for r in range(r_ranks):
-                uy = jnp.full((tile_h, pw2), ayc_ref[0, 0, r, 0])
-                cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
-                cm = ty
-                for m in range(1, modes_y):
-                    uy = uy + ayc_ref[0, 0, r, m] * cm
-                    cm, cm_prev = 2.0 * ty * cm - cm_prev, cm
-                vx = jnp.full((tile_h, pw2), bxc_ref[0, 0, r, 0])
-                cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
-                cm = tx
-                for m in range(1, modes_x):
-                    vx = vx + bxc_ref[0, 0, r, m] * cm
-                    cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
-                g = g + uy * vx
-
-            # erf soft window (blurred content box) + mirror bound.
-            sqrt2 = 1.4142135
-            scx = jnp.maximum(prm(P_SCX), 1e-3)
-            scy = jnp.maximum(prm(P_SCY), 1e-3)
-            wcx = prm(P_WCX)
-            wcy = prm(P_WCY)
-            win = (0.5 * (_erf((lx + 0.5) / (sqrt2 * scx))
-                          - _erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
-                   * 0.5 * (_erf((ly + 0.5) / (sqrt2 * scy))
-                            - _erf((ly - (wcy - 0.5)) / (sqrt2 * scy))))
-            win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
-                            & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
-            g = jnp.clip(g, 0.0, 1.0) * win
-            g = jnp.where(g > ALPHA_CUTOFF, g, 0.0)
+            g = _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks,
+                            modes_y, modes_x, th, tw, tile_h, pw2)
 
             # ---- accumulate + write back ----
-            for d in dmas:
-                d.wait()
-            lo = prm(P_LO)
-            scr[0] = scr[0] + g
-            scr[1] = scr[1] + jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS))
-            scr[2] = scr[2] + g * prm(P_ADDR)
-            scr[3] = scr[3] + g * prm(P_ADDG)
-            scr[4] = scr[4] + g * prm(P_ADDB)
-            if n_planes == 8:
-                # Saturation planes: sum of clip(drop_rgb, 0, 1) per
-                # drop (reference bad_weather.py:452-453,459-460).
-                scr[5] = scr[5] + jnp.clip(g * prm(P_SATR), 0.0, 1.0)
-                scr[6] = scr[6] + jnp.clip(g * prm(P_SATG), 0.0, 1.0)
-                scr[7] = scr[7] + jnp.clip(g * prm(P_SATB), 0.0, 1.0)
+            rd.wait()
+            _accum_rows(scr, g, prm, n_planes)
 
-            dmas2 = [pltpu.make_async_copy(scr.at[i], w, sems.at[i])
-                     for i, w in enumerate(wins)]
-            for d in dmas2:
-                d.start()
-            for d in dmas2:
-                d.wait()
+            wr = pltpu.make_async_copy(scr, win, sems)
+            wr.start()
+            wr.wait()
+
+    return kernel
+
+
+def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
+                           th: int, tw: int, n_planes: int):
+    """Double-buffered pipelined kernel (single-tile windows only).
+
+    The serial kernel pays the full HBM read+write round-trip latency
+    per drop (~5 us/drop measured — 83% of the whole render step at the
+    headline config). Here the window read for drop c+1 is issued
+    BEFORE drop c's compute, into the other scratch bank, so the DMA
+    latency hides under the VPU patch evaluation. Write-after-read
+    hazards between consecutive drops are detected from the
+    scalar-prefetched anchors (windows overlap iff |dax| < PW2 and
+    |day| < PH2); on overlap the prefetch is skipped and that read is
+    re-issued serially after the previous write completes (the
+    reference behavior). Bank schedule per valid step c:
+
+        wait  write(c-1)          [bank other — frees it for prefetch,
+                                   and orders HBM for the fallback]
+        issue read(c)   if not prefetched at c-1 (c==0 or hazard)
+        issue read(c+1) into bank other, if c+1 valid and no overlap
+        compute patch(c)          [hides read(c+1) and, usually,
+                                   read(c) issued one step earlier]
+        wait  read(c); accumulate into bank cur; issue write(c)
+        wait  write(c) at the last valid step (quiesce)
+
+    Distance-2 write/read hazards are ordered for free: read(c+1)
+    reuses the bank whose write (c-1) is waited first. Semaphore
+    issue/wait pairing is exact for any n (see the schedule), so the
+    kernel cannot hang. Banks are indexed statically by unrolling the
+    two grid-step parities (dynamic semaphore indices are not relied
+    on).
+    """
+    def kernel(n_ref, ax_ref, ay_ref, prm_ref, ayc_ref, bxc_ref,
+               in_f, out_f, scr2, sems_r, sems_w):
+        # scr2: (2, n_planes, TH, PW2); sems_r/sems_w: DMA (2,).
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        cap = pl.num_programs(1)
+        fi = b * cap + c
+        tile_h, pw2 = scr2.shape[2], scr2.shape[3]
+        n = n_ref[b]
+
+        def prm(k):
+            return prm_ref[0, 0, 0, k]
+
+        def anchors(idx):
+            return (pl.multiple_of(ax_ref[idx], 128),
+                    pl.multiple_of(ay_ref[idx], 8))
+
+        def win_at(ax, ay):
+            return out_f.at[b, :, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
+
+        def overlap(ax0, ay0, ax1, ay1):
+            return ((jnp.abs(ax0 - ax1) < pw2)
+                    & (jnp.abs(ay0 - ay1) < tile_h))
+
+        fim1 = jnp.maximum(fi - 1, 0)
+        fip1 = jnp.minimum(fi + 1, b * cap + cap - 1)
+        ax_c, ay_c = anchors(fi)
+        ax_p, ay_p = anchors(fim1)
+        ax_n, ay_n = anchors(fip1)
+        # read(c) was prefetched at step c-1 iff no (c-1, c) overlap.
+        hazard_prev = overlap(ax_p, ay_p, ax_c, ay_c)
+        do_prefetch = (c + 1 < n) & ~overlap(ax_c, ay_c, ax_n, ay_n)
+
+        @pl.when(c < n)
+        def _():
+            win_c = win_at(ax_c, ay_c)
+            win_n = win_at(ax_n, ay_n)
+            win_p = win_at(ax_p, ay_p)
+
+            for par in (0, 1):      # static bank unroll by step parity
+                cur, oth = par, 1 - par
+
+                @pl.when((c % 2) == par)
+                def _(cur=cur, oth=oth):
+                    # Free bank `oth`: write(c-1) targeted it. This
+                    # wait also orders HBM for the hazard fallback.
+                    @pl.when(c >= 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            scr2.at[oth], win_p, sems_w.at[oth]).wait()
+
+                    # read(c): prologue (c==0) or hazard fallback.
+                    @pl.when((c == 0) | hazard_prev)
+                    def _():
+                        pltpu.make_async_copy(
+                            win_c, scr2.at[cur], sems_r.at[cur]).start()
+
+                    # Prefetch read(c+1) into the freed bank.
+                    @pl.when(do_prefetch)
+                    def _():
+                        pltpu.make_async_copy(
+                            win_n, scr2.at[oth], sems_r.at[oth]).start()
+
+            g = _patch_eval(prm, ayc_ref, bxc_ref, ax_c, ay_c, r_ranks,
+                            modes_y, modes_x, th, tw, tile_h, pw2)
+
+            for par in (0, 1):
+                cur = par
+
+                @pl.when((c % 2) == par)
+                def _(cur=cur):
+                    pltpu.make_async_copy(
+                        win_c, scr2.at[cur], sems_r.at[cur]).wait()
+
+                    _accum_rows(scr2.at[cur], g, prm, n_planes)
+
+                    wr = pltpu.make_async_copy(
+                        scr2.at[cur], win_c, sems_w.at[cur])
+                    wr.start()
+
+                    # Quiesce at the last valid drop of the frame.
+                    @pl.when(c == n - 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            scr2.at[cur], win_c, sems_w.at[cur]).wait()
 
     return kernel
 
@@ -185,22 +309,25 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
                            bxc: jnp.ndarray,       # (B, C, R, Mx)
                            n_valid: jnp.ndarray,   # (B,) int32
-                           fields,                 # 5|8 x (B, HP, WP) f32
+                           fields: jnp.ndarray,    # (B, 5|8, HP, WP) f32
                            window_hw,              # static (PH2, PW2)
                            tex_hw,                 # static (TH, TW)
                            interpret: bool = False):
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
-    the kernel, so no patch pre-shifting is needed). ``fields`` is the
-    plane tuple (alpha, log_att, add_r, add_g, add_b[, sat_r, sat_g,
-    sat_b]) — 8 planes enable the saturation-mask accumulation."""
-    n_planes = len(fields)
+    the kernel, so no patch pre-shifting is needed). ``fields`` stacks
+    the planes (alpha, log_att, add_r, add_g, add_b[, sat_r, sat_g,
+    sat_b]) on axis 1 — 8 planes enable the saturation-mask
+    accumulation; the stacked layout lets one strided DMA descriptor
+    move a whole window (5-8x fewer descriptors than per-plane
+    copies)."""
+    n_planes = fields.shape[1]
     assert n_planes in (5, 8), n_planes
     bsz, _, c = params.shape
     r_ranks, modes_y = ayc.shape[2], ayc.shape[3]
     modes_x = bxc.shape[3]
     ph2, pw2, tile_h, n_tiles = window_hw
-    hp, wp = fields[0].shape[1:]
+    hp, wp = fields.shape[2:]
 
     ax = (anchor[..., 0] // LANE) * LANE
     ay = (anchor[..., 1] // SUBLANE) * SUBLANE
@@ -215,6 +342,24 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
     prm = jnp.pad(params.transpose(0, 2, 1),
                   ((0, 0), (0, 0), (0, LANE - N_PARAMS)))[:, :, None, :]
 
+    if n_tiles == 1:
+        # Hot path: double-buffered pipelined kernel (see
+        # _make_kernel_pipelined) — DMA latency hides under compute.
+        kernel = _make_kernel_pipelined(r_ranks, modes_y, modes_x,
+                                        tex_hw[0], tex_hw[1], n_planes)
+        scratch_shapes = [
+            pltpu.VMEM((2, n_planes, tile_h, pw2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
+                              tex_hw[1], n_tiles, n_planes)
+        scratch_shapes = [
+            pltpu.VMEM((n_planes, tile_h, pw2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bsz, c),
@@ -227,22 +372,19 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
             pl.BlockSpec((1, 1, r_ranks, mxp),
                          lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
-        scratch_shapes=[
-            pltpu.VMEM((n_planes, tile_h, pw2), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_planes,)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
-        _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0], tex_hw[1],
-                     n_tiles, n_planes),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((bsz, hp, wp),
-                                        jnp.float32)] * n_planes,
-        input_output_aliases={6 + i: i for i in range(n_planes)},
+        out_shape=jax.ShapeDtypeStruct((bsz, n_planes, hp, wp),
+                                       jnp.float32),
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1),
-      prm, ayc_p, bxc_p, *fields)
-    return tuple(out)
+      prm, ayc_p, bxc_p, fields)
+    return out

@@ -154,7 +154,7 @@ def _build_sharded_fused(mesh: Mesh, cfg: PipelineConfig):
         fogged, env_save, planes, overflow = frame_mod.fused_field_planes(
             bg_l, depth_l, drops_l, tex, edges, keys_l, cfg,
             drop_offset=sp_idx * n_local, interpret=interpret)
-        planes = tuple(jax.lax.psum(p, "sp") for p in planes)
+        planes = jax.lax.psum(planes, "sp")
         overflow = jax.lax.psum(overflow, "sp")
         fmaps = frame_mod.crop_field_planes(planes, cfg)
 

@@ -354,11 +354,12 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                        pano=None):
     """Batched fused raster+composite up to the (padded) field planes.
 
-    Returns (fogged, env_save, planes, overflow) where ``planes`` is the
-    tuple (alpha, log_att, add_r, add_g, add_b[, sat_r, sat_g, sat_b])
-    of (B, HP, WP) padded accumulators (8 planes when
-    cfg.compute_saturation_mask). The planes are order-independent SUMS
-    over drops, so a
+    Returns (fogged, env_save, planes, overflow) where ``planes`` is a
+    (B, P, HP, WP) stacked padded accumulator with P plane order
+    (alpha, log_att, add_r, add_g, add_b[, sat_r, sat_g, sat_b]) — 8
+    planes when cfg.compute_saturation_mask. The stacked layout lets
+    the kernel move a whole window with ONE strided DMA descriptor.
+    The planes are order-independent SUMS over drops, so a
     drop-sharded caller (raintpu.parallel) can psum them across the sp
     axis before cropping. ``drop_offset`` is the global index of the
     first drop (may be traced), keeping per-drop RNG layout-invariant.
@@ -398,8 +399,7 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     chunks = []
     for c0 in range(0, bsz, MAX_KERNEL_BATCH):
         c1 = min(c0 + MAX_KERNEL_BATCH, bsz)
-        fields = tuple(jnp.zeros((c1 - c0, hp, wp), jnp.float32)
-                       for _ in range(n_planes))
+        fields = jnp.zeros((c1 - c0, n_planes, hp, wp), jnp.float32)
         for plan, bk in zip(plans, buckets):
             n_valid = jnp.sum(bk["valid"][c0:c1].astype(jnp.int32),
                               axis=1)
@@ -409,28 +409,24 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                 fields, window_hw=plan, tex_hw=tuple(tex_hw),
                 interpret=interpret)
         chunks.append(fields)
-    if len(chunks) == 1:
-        fields = chunks[0]
-    else:
-        fields = tuple(jnp.concatenate([ch[i] for ch in chunks], axis=0)
-                       for i in range(n_planes))
+    fields = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
+                                                                axis=0)
     return fogged, env_save, fields, overflow
 
 
-def crop_field_planes(planes, cfg: PipelineConfig):
-    """(alpha, log_att, r, g, b[, sr, sg, sb]) padded planes ->
-    FieldMaps at image size."""
+def crop_field_planes(planes: jnp.ndarray, cfg: PipelineConfig):
+    """(B, P, HP, WP) stacked padded planes (alpha, log_att, r, g, b
+    [, sr, sg, sb]) -> FieldMaps at image size."""
     from raintpu.ops.composite import FieldMaps
 
     h, w = cfg.image_hw
-    alpha, log_att, ar, ag, ab = planes[:5]
-    additive = jnp.stack([ar[..., :h, :w], ag[..., :h, :w],
-                          ab[..., :h, :w]], axis=-1)
+    cropped = planes[..., :h, :w]               # (B, P, H, W)
+    additive = jnp.moveaxis(cropped[:, 2:5], 1, -1)
     sat = None
-    if len(planes) == 8:
-        sat = jnp.stack([p[..., :h, :w] for p in planes[5:]], axis=-1)
-    return FieldMaps(log_att=log_att[..., :h, :w], additive=additive,
-                     alpha=alpha[..., :h, :w], sat=sat)
+    if planes.shape[1] == 8:
+        sat = jnp.moveaxis(cropped[:, 5:8], 1, -1)
+    return FieldMaps(log_att=cropped[:, 1], additive=additive,
+                     alpha=cropped[:, 0], sat=sat)
 
 
 def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
