@@ -184,120 +184,167 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 
 def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                            th: int, tw: int, n_planes: int):
-    """Double-buffered pipelined kernel (single-tile windows only).
+    """Depth-3 pipelined kernel (single-tile windows only).
 
-    The serial kernel pays the full HBM read+write round-trip latency
-    per drop (~5 us/drop measured — 83% of the whole render step at the
-    headline config). Here the window read for drop c+1 is issued
-    BEFORE drop c's compute, into the other scratch bank, so the DMA
-    latency hides under the VPU patch evaluation. Write-after-read
-    hazards between consecutive drops are detected from the
-    scalar-prefetched anchors (windows overlap iff |dax| < PW2 and
-    |day| < PH2); on overlap the prefetch is skipped and that read is
-    re-issued serially after the previous write completes (the
-    reference behavior). Bank schedule per valid step c:
+    The serial kernel pays the full HBM round-trip latency per drop
+    (~5 us/drop measured — 83% of the whole render step at the
+    headline config). A depth-2 version that prefetched one window
+    ahead still left the write-back wait on the critical path (the
+    write issued at the end of step c-1 had to land before step c
+    could reuse its bank). With THREE scratch banks, write(j) is not
+    normally waited until step j+3 — two full steps of slack — so in
+    the steady state every wait is on a long-completed DMA and the
+    per-step cost collapses to the VPU patch evaluation.
 
-        wait  write(c-1)          [bank other — frees it for prefetch,
-                                   and orders HBM for the fallback]
-        issue read(c)   if not prefetched at c-1 (c==0 or hazard)
-        issue read(c+1) into bank other, if c+1 valid and no overlap
-        compute patch(c)          [hides read(c+1) and, usually,
-                                   read(c) issued one step earlier]
-        wait  read(c); accumulate into bank cur; issue write(c)
-        wait  write(c) at the last valid step (quiesce)
+    Read-after-write hazards are detected from the scalar-prefetched
+    anchors (windows overlap iff |dax| < PW2 and |day| < TILE_H). The
+    wait schedule (verified by exhaustive simulation over all overlap
+    patterns up to n=6 plus 20k random cases — exact issue/wait
+    pairing, bank integrity, no RAW races):
 
-    Distance-2 write/read hazards are ordered for free: read(c+1)
-    reuses the bank whose write (c-1) is waited first. Semaphore
-    issue/wait pairing is exact for any n (see the schedule), so the
-    kernel cannot hang. Banks are indexed statically by unrolling the
-    two grid-step parities (dynamic semaphore indices are not relied
-    on).
+      write(j) is waited exactly once, at
+        t1      step j+1  iff ov(j+1, j)          [fallback read j+1]
+        t2      step j+2  iff ov(j+2, j) and not t1
+        t3e     step j+2  iff read(j+3) prefetched, not t1/t2
+        t3l     step j+3  iff read(j+3) falls back, not t1/t2
+        cleanup step n-1  for writes whose wait point exceeds n-1
+      read(c) is issued at step c-1 (prefetch) iff it overlaps
+        neither window c-1 nor c-2; else at step c after the
+        overlapping writes' waits (t1/t2) — and is always waited at
+        step c before accumulation.
+
+    Banks are indexed statically by unrolling the grid step mod 3
+    (dynamic semaphore indices are not relied on).
     """
     def kernel(n_ref, ax_ref, ay_ref, prm_ref, ayc_ref, bxc_ref,
-               in_f, out_f, scr2, sems_r, sems_w):
-        # scr2: (2, n_planes, TH, PW2); sems_r/sems_w: DMA (2,).
+               in_f, out_f, scr3, sems_r, sems_w):
+        # scr3: (3, n_planes, TH, PW2); sems_r/sems_w: DMA (3,).
         b = pl.program_id(0)
         c = pl.program_id(1)
         cap = pl.num_programs(1)
         fi = b * cap + c
-        tile_h, pw2 = scr2.shape[2], scr2.shape[3]
+        tile_h, pw2 = scr3.shape[2], scr3.shape[3]
         n = n_ref[b]
 
         def prm(k):
             return prm_ref[0, 0, 0, k]
 
-        def anchors(idx):
+        def anchors(off):
+            idx = jnp.clip(fi + off, b * cap, b * cap + cap - 1)
             return (pl.multiple_of(ax_ref[idx], 128),
                     pl.multiple_of(ay_ref[idx], 8))
 
-        def win_at(ax, ay):
-            return out_f.at[b, :, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
+        def win_at(a):
+            return out_f.at[b, :, pl.ds(a[1], tile_h),
+                            pl.ds(a[0], pw2)]
 
-        def overlap(ax0, ay0, ax1, ay1):
-            return ((jnp.abs(ax0 - ax1) < pw2)
-                    & (jnp.abs(ay0 - ay1) < tile_h))
+        def ov(a, bb):
+            return ((jnp.abs(a[0] - bb[0]) < pw2)
+                    & (jnp.abs(a[1] - bb[1]) < tile_h))
 
-        fim1 = jnp.maximum(fi - 1, 0)
-        fip1 = jnp.minimum(fi + 1, b * cap + cap - 1)
-        ax_c, ay_c = anchors(fi)
-        ax_p, ay_p = anchors(fim1)
-        ax_n, ay_n = anchors(fip1)
-        # read(c) was prefetched at step c-1 iff no (c-1, c) overlap.
-        hazard_prev = overlap(ax_p, ay_p, ax_c, ay_c)
-        do_prefetch = (c + 1 < n) & ~overlap(ax_c, ay_c, ax_n, ay_n)
+        a_c = anchors(0)
+        a_m1, a_m2, a_m3 = anchors(-1), anchors(-2), anchors(-3)
+        a_p1 = anchors(1)
+
+        hz1_c = (c >= 1) & ov(a_c, a_m1)
+        hz2_c = (c >= 2) & ov(a_c, a_m2)
+        hz1_cm1 = (c >= 2) & ov(a_m1, a_m2)
+        hz1_cm2 = (c >= 3) & ov(a_m2, a_m3)
+        hz2_cm1 = (c >= 3) & ov(a_m1, a_m3)
+        hz1_cp1 = ov(a_p1, a_c)
+        hz2_cp1 = (c >= 1) & ov(a_p1, a_m1)
+        prefetched_c = (c >= 1) & ~hz1_c & ~hz2_c
+        prefetch_next = (c + 1 < n) & ~hz1_cp1 & ~hz2_cp1
 
         @pl.when(c < n)
         def _():
-            win_c = win_at(ax_c, ay_c)
-            win_n = win_at(ax_n, ay_n)
-            win_p = win_at(ax_p, ay_p)
-
-            for par in (0, 1):      # static bank unroll by step parity
-                cur, oth = par, 1 - par
-
-                @pl.when((c % 2) == par)
-                def _(cur=cur, oth=oth):
-                    # Free bank `oth`: write(c-1) targeted it. This
-                    # wait also orders HBM for the hazard fallback.
-                    @pl.when(c >= 1)
-                    def _():
-                        pltpu.make_async_copy(
-                            scr2.at[oth], win_p, sems_w.at[oth]).wait()
-
-                    # read(c): prologue (c==0) or hazard fallback.
-                    @pl.when((c == 0) | hazard_prev)
-                    def _():
-                        pltpu.make_async_copy(
-                            win_c, scr2.at[cur], sems_r.at[cur]).start()
-
-                    # Prefetch read(c+1) into the freed bank.
-                    @pl.when(do_prefetch)
-                    def _():
-                        pltpu.make_async_copy(
-                            win_n, scr2.at[oth], sems_r.at[oth]).start()
-
-            g = _patch_eval(prm, ayc_ref, bxc_ref, ax_c, ay_c, r_ranks,
-                            modes_y, modes_x, th, tw, tile_h, pw2)
-
-            for par in (0, 1):
+            for par in (0, 1, 2):   # static bank unroll: bank = c % 3
                 cur = par
+                m1 = (par - 1) % 3
+                m2 = (par - 2) % 3
 
-                @pl.when((c % 2) == par)
-                def _(cur=cur):
+                @pl.when((c % 3) == par)
+                def _(cur=cur, m1=m1, m2=m2):
+                    w_c = win_at(a_c)
+                    w_m1 = win_at(a_m1)
+                    w_m2 = win_at(a_m2)
+                    w_m3 = win_at(a_m3)
+                    w_p1 = win_at(a_p1)
+
+                    # t1: fallback read(c) overlaps write(c-1).
+                    @pl.when(hz1_c)
+                    def _():
+                        pltpu.make_async_copy(
+                            scr3.at[m1], w_m1, sems_w.at[m1]).wait()
+
+                    # t2: fallback read(c) overlaps write(c-2).
+                    @pl.when(hz2_c & ~hz1_cm1)
+                    def _():
+                        pltpu.make_async_copy(
+                            scr3.at[m2], w_m2, sems_w.at[m2]).wait()
+
+                    # Fallback/prologue read(c) into bank cur.
+                    @pl.when(~prefetched_c)
+                    def _():
+                        # t3-late: bank cur still owed write(c-3).
+                        @pl.when((c >= 3) & ~hz1_cm2 & ~hz2_cm1)
+                        def _():
+                            pltpu.make_async_copy(
+                                scr3.at[cur], w_m3,
+                                sems_w.at[cur]).wait()
+                        pltpu.make_async_copy(
+                            w_c, scr3.at[cur], sems_r.at[cur]).start()
+
+                    # Prefetch read(c+1) into bank m2 (== (c+1) % 3).
+                    @pl.when(prefetch_next)
+                    def _():
+                        # t3-early: free that bank of write(c-2).
+                        @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
+                        def _():
+                            pltpu.make_async_copy(
+                                scr3.at[m2], w_m2,
+                                sems_w.at[m2]).wait()
+                        pltpu.make_async_copy(
+                            w_p1, scr3.at[m2], sems_r.at[m2]).start()
+
+            g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0], a_c[1],
+                            r_ranks, modes_y, modes_x, th, tw,
+                            tile_h, pw2)
+
+            for par in (0, 1, 2):
+                cur = par
+                m1 = (par - 1) % 3
+                m2 = (par - 2) % 3
+
+                @pl.when((c % 3) == par)
+                def _(cur=cur, m1=m1, m2=m2):
+                    w_c = win_at(a_c)
                     pltpu.make_async_copy(
-                        win_c, scr2.at[cur], sems_r.at[cur]).wait()
+                        w_c, scr3.at[cur], sems_r.at[cur]).wait()
 
-                    _accum_rows(scr2.at[cur], g, prm, n_planes)
+                    _accum_rows(scr3.at[cur], g, prm, n_planes)
 
-                    wr = pltpu.make_async_copy(
-                        scr2.at[cur], win_c, sems_w.at[cur])
-                    wr.start()
+                    pltpu.make_async_copy(
+                        scr3.at[cur], w_c, sems_w.at[cur]).start()
 
-                    # Quiesce at the last valid drop of the frame.
+                    # Cleanup: quiesce writes whose scheduled wait
+                    # point lies beyond the last valid step.
                     @pl.when(c == n - 1)
                     def _():
                         pltpu.make_async_copy(
-                            scr2.at[cur], win_c, sems_w.at[cur]).wait()
+                            scr3.at[cur], w_c, sems_w.at[cur]).wait()
+
+                        @pl.when((c >= 1) & ~hz1_c)
+                        def _():
+                            pltpu.make_async_copy(
+                                scr3.at[m1], win_at(a_m1),
+                                sems_w.at[m1]).wait()
+
+                        @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
+                        def _():
+                            pltpu.make_async_copy(
+                                scr3.at[m2], win_at(a_m2),
+                                sems_w.at[m2]).wait()
 
     return kernel
 
@@ -348,9 +395,9 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
         kernel = _make_kernel_pipelined(r_ranks, modes_y, modes_x,
                                         tex_hw[0], tex_hw[1], n_planes)
         scratch_shapes = [
-            pltpu.VMEM((2, n_planes, tile_h, pw2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, n_planes, tile_h, pw2), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ]
     else:
         kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
