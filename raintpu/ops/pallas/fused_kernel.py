@@ -242,22 +242,25 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
             return ((jnp.abs(a[0] - bb[0]) < pw2)
                     & (jnp.abs(a[1] - bb[1]) < tile_h))
 
-        a_c = anchors(0)
-        a_m1, a_m2, a_m3 = anchors(-1), anchors(-2), anchors(-3)
-        a_p1 = anchors(1)
-
-        hz1_c = (c >= 1) & ov(a_c, a_m1)
-        hz2_c = (c >= 2) & ov(a_c, a_m2)
-        hz1_cm1 = (c >= 2) & ov(a_m1, a_m2)
-        hz1_cm2 = (c >= 3) & ov(a_m2, a_m3)
-        hz2_cm1 = (c >= 3) & ov(a_m1, a_m3)
-        hz1_cp1 = ov(a_p1, a_c)
-        hz2_cp1 = (c >= 1) & ov(a_p1, a_m1)
-        prefetched_c = (c >= 1) & ~hz1_c & ~hz2_c
-        prefetch_next = (c + 1 < n) & ~hz1_cp1 & ~hz2_cp1
-
         @pl.when(c < n)
         def _():
+            # All scalar work lives under the valid gate: gated (empty)
+            # steps otherwise pay ~0.8 us each just for this prologue,
+            # which at padded capacities is a large fraction of the
+            # kernel (measured round 2).
+            a_c = anchors(0)
+            a_m1, a_m2, a_m3 = anchors(-1), anchors(-2), anchors(-3)
+            a_p1 = anchors(1)
+
+            hz1_c = (c >= 1) & ov(a_c, a_m1)
+            hz2_c = (c >= 2) & ov(a_c, a_m2)
+            hz1_cm1 = (c >= 2) & ov(a_m1, a_m2)
+            hz1_cm2 = (c >= 3) & ov(a_m2, a_m3)
+            hz2_cm1 = (c >= 3) & ov(a_m1, a_m3)
+            hz1_cp1 = ov(a_p1, a_c)
+            hz2_cp1 = (c >= 1) & ov(a_p1, a_m1)
+            prefetched_c = (c >= 1) & ~hz1_c & ~hz2_c
+            prefetch_next = (c + 1 < n) & ~hz1_cp1 & ~hz2_cp1
             for par in (0, 1, 2):   # static bank unroll: bank = c % 3
                 cur = par
                 m1 = (par - 1) % 3

@@ -92,9 +92,14 @@ class RasterConfig:
     def default(capacity: int) -> "RasterConfig":
         # Smallest bucket first: the typical drop is a few px wide and
         # tens of px long, and composite cost scales with window area.
+        # Capacities taper with bucket size (the population is heavily
+        # skewed toward 1-2 px drops) — every padded slot costs a gated
+        # kernel grid step (~0.8 us), so oversized buckets are pure
+        # overhead. Overflow counters surface any workload that needs
+        # a bigger bucket.
         return RasterConfig(buckets=(
             BucketSpec(40, 32, 5, capacity, 16, 8),
-            BucketSpec(96, 64, 12, capacity, 24, 10),
+            BucketSpec(96, 64, 12, max(64, capacity // 2), 24, 10),
             BucketSpec(320, 192, 32, max(32, capacity // 8), 16, 8),
             BucketSpec(704, 384, 48, max(16, capacity // 32), 12, 6),
         ))
