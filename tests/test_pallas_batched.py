@@ -154,3 +154,116 @@ def test_fused_batch_chunking_matches_xla(monkeypatch):
                                np.asarray(out_x.rain_mask), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_f.rainy_image),
                                np.asarray(out_x.rainy_image), atol=2e-4)
+
+
+def test_fused_kernel_overlap_chain():
+    """Hazard stress for the depth-3 pipelined kernel: many drops with
+    IDENTICAL (and near-identical) windows force the maximal fallback
+    chain (every read overlaps the previous 2 writes), plus interleaved
+    disjoint drops exercising the prefetch path. The accumulated planes
+    must equal the plain sum over drops."""
+    from raintpu.ops.pallas.fused_kernel import (N_PARAMS, P_ADDB,
+                                                 P_ADDG, P_ADDR, P_LO,
+                                                 fused_raster_composite,
+                                                 plan_window)
+
+    B, C = 2, 12
+    TH, TW = 64, 32
+    R, MY, MX = 1, 4, 4
+    plan = plan_window(40, 32)
+    hp, wp = 192, 768
+
+    params = np.zeros((B, N_PARAMS, C), np.float32)
+    anchor = np.zeros((B, C, 2), np.int32)
+    for b in range(B):
+        for c in range(C):
+            # slots 0-7: same window (anchor 140,16); 8-11: far away.
+            ax = 140 if c < 8 else 300 + 40 * (c - 8)
+            ay = 16 if c < 8 else 80
+            params[b, 0, c] = 1.0   # identity homography
+            params[b, 4, c] = 8.0
+            params[b, 8, c] = 1.0
+            params[b, 9, c] = ax + (c % 3)      # mincx
+            params[b, 10, c] = ay + (c % 2)     # mincy
+            params[b, 11, c] = 8.0              # wcx
+            params[b, 12, c] = 20.0             # wcy
+            params[b, 13, c] = 1.0
+            params[b, 14, c] = 1.0
+            params[b, P_LO, c] = 0.4
+            params[b, P_ADDR, c] = 0.1 * (c + 1)
+            params[b, P_ADDG, c] = 0.05
+            params[b, P_ADDB, c] = 0.02
+            anchor[b, c, 0] = int(params[b, 9, c])
+            anchor[b, c, 1] = int(params[b, 10, c])
+    rng = np.random.RandomState(3)
+    ayc = (rng.rand(B, C, R, MY) * 0.5).astype(np.float32)
+    bxc = (rng.rand(B, C, R, MX) * 0.5).astype(np.float32)
+    n_valid = np.array([C, 5], np.int32)    # frame 1: partial count
+
+    fields = jnp.zeros((B, 5, hp, wp), jnp.float32)
+    out = fused_raster_composite(
+        jnp.asarray(params), jnp.asarray(anchor), jnp.asarray(ayc),
+        jnp.asarray(bxc), jnp.asarray(n_valid), fields,
+        window_hw=plan, tex_hw=(TH, TW), interpret=True)
+    out = np.asarray(out)
+
+    # Independent reference: evaluate each drop's patch in numpy and
+    # accumulate into full planes (order-independent sums).
+    def erf(x):
+        x = np.asarray(x, np.float64)
+        return np.tanh(1.1283791671 * x + 0.1009055155 * x ** 3)
+
+    ref = np.zeros_like(out)
+    ph2, pw2, tile_h, n_tiles = plan
+    assert n_tiles == 1
+    for b in range(B):
+        for c in range(int(n_valid[b])):
+            axg = (anchor[b, c, 0] // 128) * 128
+            ayg = (anchor[b, c, 1] // 8) * 8
+            jj, ii = np.meshgrid(np.arange(pw2), np.arange(tile_h))
+            lx = jj + (axg - params[b, 9, c])
+            ly = ii + (ayg - params[b, 10, c])
+            M = params[b, :9, c].reshape(3, 3)
+            hx = M[0, 0] * lx + M[0, 1] * ly + M[0, 2]
+            hy = M[1, 0] * lx + M[1, 1] * ly + M[1, 2]
+            hz = M[2, 0] * lx + M[2, 1] * ly + M[2, 2]
+            hz = np.where(np.abs(hz) < 1e-9, 1e-9, hz)
+            xhat = (hx / hz + 0.5) / TW
+            yhat = (hy / hz + 0.5) / TH
+            g = np.zeros((tile_h, pw2))
+            ty = np.cos(np.pi * yhat)
+            tx = np.cos(np.pi * xhat)
+            for r in range(R):
+                uy = np.full_like(g, ayc[b, c, r, 0])
+                cm_prev, cm = np.ones_like(g), ty
+                for m in range(1, MY):
+                    uy = uy + ayc[b, c, r, m] * cm
+                    cm, cm_prev = 2.0 * ty * cm - cm_prev, cm
+                vx = np.full_like(g, bxc[b, c, r, 0])
+                cm_prev, cm = np.ones_like(g), tx
+                for m in range(1, MX):
+                    vx = vx + bxc[b, c, r, m] * cm
+                    cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
+                g = g + uy * vx
+            sq2 = 1.4142135
+            scx = max(params[b, 13, c], 1e-3)
+            scy = max(params[b, 14, c], 1e-3)
+            wcx, wcy = params[b, 11, c], params[b, 12, c]
+            win = (0.5 * (erf((lx + 0.5) / (sq2 * scx))
+                          - erf((lx - (wcx - 0.5)) / (sq2 * scx)))
+                   * 0.5 * (erf((ly + 0.5) / (sq2 * scy))
+                            - erf((ly - (wcy - 0.5)) / (sq2 * scy))))
+            win = np.where((xhat >= -0.25) & (xhat <= 1.25)
+                           & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+            g = np.clip(g, 0.0, 1.0) * win
+            g = np.where(g > 2e-4, g, 0.0)
+            sl = np.s_[ayg:ayg + tile_h, axg:axg + pw2]
+            ref[b, 0][sl] += g
+            ref[b, 1][sl] += np.log(np.maximum(
+                1.0 - g * params[b, P_LO, c], 1e-6))
+            ref[b, 2][sl] += g * params[b, P_ADDR, c]
+            ref[b, 3][sl] += g * params[b, P_ADDG, c]
+            ref[b, 4][sl] += g * params[b, P_ADDB, c]
+
+    assert np.abs(out[:, 0]).sum() > 1.0, "chain scene rendered nothing"
+    np.testing.assert_allclose(out, ref, atol=2e-3)
