@@ -122,9 +122,10 @@ def bench_cityscapes_envmap():
 
     from raintpu.render.frame import render_frames
 
-    # Batch 4 measured faster than 12 here: the full-res envmap
-    # generation dominates and scales with B (182.9 vs 165.5 img/s).
-    B = 4
+    # Batch 12 wins over 4 with the pipelined kernel (367.9 vs 301.7
+    # img/s; the earlier "4 beats 12" lore dated from the no-op-render
+    # bench era).
+    B = 12
     cfg, _, drops, bg, depth, keys, bank, edges = _common(
         B, 1024, 512, 25, 512, save_envmap=True)
 
