@@ -49,32 +49,51 @@ def _assert_rain(out):
     return mass
 
 
-def _common(B, W, H, fallrate, capacity, settings=None, **cfg_kw):
+def _common(B, W, H, fallrate, capacity=None, settings=None, **cfg_kw):
+    """Build a bench scene. ``capacity=None`` sizes the simulation from
+    the expected drop population (+5 sigma) and the render capacity
+    from the actual max valid count, asserting no truncation — a fixed
+    capacity silently truncated heavy intensities in early rounds
+    (e.g. 50 mm/hr KITTI expects ~1530 simulated drops)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from raintpu.data.textures import procedural_streak_database, texture_bank
     from raintpu.ops.rasterize import RasterConfig
-    from raintpu.physics.simulator import SimConfig, simulate_frames
+    from raintpu.physics.simulator import (SimConfig, expected_drop_count,
+                                           simulate_frames)
     from raintpu.render.camera import CameraSettings, RenderSettings
     from raintpu.render.frame import PipelineConfig
 
     if settings is None:
         settings = RenderSettings(camera=CameraSettings(
             wh=(W, H), ccd_wh=(W, H)))
-    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
-                         fallrate=float(fallrate),
-                         raster=RasterConfig.default(capacity), **cfg_kw)
     from raintpu.particles.schema import compact_drop_batch
 
-    # Simulate with headroom, then pack to the render capacity (no
-    # population truncation — see bench.py).
-    sim_cfg = SimConfig.from_settings(settings, capacity=2 * capacity)
+    if capacity is None:
+        probe = SimConfig.from_settings(settings, capacity=1)
+        expect = float(expected_drop_count(probe, float(fallrate)))
+        sim_cap = int(-(-(expect + 5 * np.sqrt(expect) + 64) // 256)
+                      * 256)
+    else:
+        sim_cap = 2 * capacity
+    sim_cfg = SimConfig.from_settings(settings, capacity=sim_cap)
     drops = simulate_frames(jax.random.PRNGKey(0), sim_cfg,
                             jnp.full(B, float(fallrate)), jnp.full(B, 8.0),
                             jnp.full(B, settings.camera.exposure_s),
                             jnp.ones(B))
+    counts = np.asarray(drops.count())
+    assert counts.max() < sim_cap, \
+        f"simulation capacity saturated ({counts.max()}/{sim_cap})"
+    if capacity is None:
+        capacity = int(-(-int(counts.max()) // 128) * 128)
+    else:
+        assert counts.max() <= capacity, \
+            f"render capacity truncates ({counts.max()}/{capacity})"
+    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
+                         fallrate=float(fallrate),
+                         raster=RasterConfig.default(capacity), **cfg_kw)
     drops = jax.jit(jax.vmap(
         lambda d: compact_drop_batch(d, capacity)))(drops)
     rng = np.random.RandomState(0)
@@ -94,11 +113,16 @@ def bench_kitti_sweep():
 
     from raintpu.render.frame import render_frames
 
+    # B=12: at 50 mm/hr the auto capacity is ~1024 slots and the
+    # remote compile helper dies above roughly B x capacity ~ 2e4
+    # (see the nuScenes half-rig note).
     B = 12
     total = 0.0
     for fr in (1, 5, 25, 50):
+        # auto capacity: the full population at every intensity
+        # (50 mm/hr needs ~1024 slots; 512 used to truncate silently)
         cfg, _, drops, bg, depth, keys, bank, edges = _common(
-            B, 1242, 375, fr, 512)
+            B, 1242, 375, fr)
 
         def step(i, keys, bg, depth, drops, bank, edges, _c=cfg):
             k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
@@ -127,7 +151,7 @@ def bench_cityscapes_envmap():
     # bench era).
     B = 12
     cfg, _, drops, bg, depth, keys, bank, edges = _common(
-        B, 1024, 512, 25, 512, save_envmap=True)
+        B, 1024, 512, 25, save_envmap=True)
 
     def step(i, keys, bg, depth, drops, bank, edges):
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
@@ -242,9 +266,10 @@ def bench_online():
     from raintpu.physics.simulator import simulate_frames
     from raintpu.render.frame import render_frames
 
-    B = 12
+    B = 12      # auto capacity at 25 mm/hr is ~640 slots; B=12 stays
+    # clear of the remote-compile-helper graph-size wall.
     cfg, sim_cfg, _, bg, depth, keys, bank, edges = _common(
-        B, 1242, 375, 25, 512)
+        B, 1242, 375, 25)
 
     def step(i, keys, bg, depth, bank, edges):
         k0 = jax.random.fold_in(jax.random.PRNGKey(3), i)
@@ -278,7 +303,7 @@ def bench_sharded():
     from raintpu.parallel.mesh import make_mesh, render_frames_sharded
 
     n = len(jax.devices())
-    B = 12
+    B = 32
     cfg, _, drops, bg, depth, keys, bank, edges = _common(
         B, 1242, 375, 10, 320, composite_mode="fused")
     mesh = make_mesh(n_devices=n, sp=1)
