@@ -141,43 +141,70 @@ def _accum_rows(scr_bank, g, prm, n_planes):
 
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
                  th: int, tw: int, n_tiles: int, n_planes: int):
-    """Serial (multi-tile) kernel: read -> compute -> RMW per grid step.
-    Used when the window is row-tiled (big buckets); the single-tile
-    hot buckets use the pipelined kernel below."""
+    """Multi-tile kernel for the big-window buckets, pipelined across
+    its row tiles: a drop's tiles are DISJOINT row bands, so tile t+1's
+    read can fly during tile t's compute with no hazard (two scratch
+    banks, statically scheduled — n_tiles is a Python constant). Drops
+    stay serial relative to each other: all writes are quiesced before
+    the step ends, so the next grid step's reads are ordered."""
     def kernel(n_ref, ax_ref, ay_ref,
                prm_ref,           # VMEM block (1, 1, 128) — param lane
                ayc_ref,           # VMEM block (1, 1, R, MYP)
                bxc_ref,           # VMEM block (1, 1, R, MXP)
-               in_f, out_f, scr, sems):
-        # in_f is the aliased input (B, P, HP, WP); out_f the output.
+               in_f, out_f, scr2, sems_r, sems_w):
+        # scr2: (2, n_planes, TILE_H, PW2); sems_r/sems_w: DMA (2,).
         b = pl.program_id(0)
         c = pl.program_id(1)
         fi = b * pl.num_programs(1) + c
-        tile_h, pw2 = scr.shape[1], scr.shape[2]
+        tile_h, pw2 = scr2.shape[2], scr2.shape[3]
 
         def prm(k):
             return prm_ref[0, 0, 0, k]
 
         @pl.when(c < n_ref[b])
         def _():
-          for t in range(n_tiles):   # row tiles cap the VMEM working set
             ax = pl.multiple_of(ax_ref[fi], 128)
-            ay = pl.multiple_of(ay_ref[fi], 8) + t * tile_h
-            # One strided descriptor moves all planes of the window.
-            win = out_f.at[b, :, pl.ds(ay, tile_h), pl.ds(ax, pw2)]
-            rd = pltpu.make_async_copy(win, scr, sems)
-            rd.start()
+            ay0 = pl.multiple_of(ay_ref[fi], 8)
 
-            g = _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks,
-                            modes_y, modes_x, th, tw, tile_h, pw2)
+            def win(t):
+                return out_f.at[b, :, pl.ds(ay0 + t * tile_h, tile_h),
+                                pl.ds(ax, pw2)]
 
-            # ---- accumulate + write back ----
-            rd.wait()
-            _accum_rows(scr, g, prm, n_planes)
+            # Prologue: start tile 0's read.
+            pltpu.make_async_copy(win(0), scr2.at[0], sems_r.at[0]
+                                  ).start()
+            for t in range(n_tiles):
+                cur, oth = t % 2, 1 - (t % 2)
+                if t + 1 < n_tiles:
+                    # Bank `oth` must be free of its previous write
+                    # (tile t-1) before prefetching tile t+1 into it.
+                    if t >= 1:
+                        pltpu.make_async_copy(
+                            scr2.at[oth], win(t - 1),
+                            sems_w.at[oth]).wait()
+                    pltpu.make_async_copy(
+                        win(t + 1), scr2.at[oth], sems_r.at[oth]
+                        ).start()
 
-            wr = pltpu.make_async_copy(scr, win, sems)
-            wr.start()
-            wr.wait()
+                g = _patch_eval(prm, ayc_ref, bxc_ref, ax,
+                                ay0 + t * tile_h, r_ranks,
+                                modes_y, modes_x, th, tw, tile_h, pw2)
+
+                pltpu.make_async_copy(win(t), scr2.at[cur],
+                                      sems_r.at[cur]).wait()
+                _accum_rows(scr2.at[cur], g, prm, n_planes)
+                pltpu.make_async_copy(scr2.at[cur], win(t),
+                                      sems_w.at[cur]).start()
+
+            # Quiesce: the next grid step (a different drop) may read
+            # overlapping windows, so every write must land here.
+            last = (n_tiles - 1) % 2
+            pltpu.make_async_copy(scr2.at[last], win(n_tiles - 1),
+                                  sems_w.at[last]).wait()
+            if n_tiles >= 2:
+                pltpu.make_async_copy(scr2.at[1 - last],
+                                      win(n_tiles - 2),
+                                      sems_w.at[1 - last]).wait()
 
     return kernel
 
@@ -406,8 +433,9 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
         kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
                               tex_hw[1], n_tiles, n_planes)
         scratch_shapes = [
-            pltpu.VMEM((n_planes, tile_h, pw2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, n_planes, tile_h, pw2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

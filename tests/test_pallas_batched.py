@@ -267,3 +267,60 @@ def test_fused_kernel_overlap_chain():
 
     assert np.abs(out[:, 0]).sum() > 1.0, "chain scene rendered nothing"
     np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_fused_multitile_buckets_match_xla():
+    """The big-window buckets run the row-tiled kernel (n_tiles > 1:
+    320x192 -> 2 tiles, 704x384 -> 5 tiles), pipelined across tiles —
+    no small-bucket test reaches that path. Close-range giant drops
+    force it; result must match the XLA composite."""
+    from raintpu.particles.schema import (cull_to_frame,
+                                          finalize_raw_streaks,
+                                          pack_drop_batch)
+
+    W, H, B = 384, 96, 2
+    rng = np.random.RandomState(5)
+    n = 10
+    x = rng.uniform(40, W - 40, n)
+    y_sim = rng.uniform(10, H - 10, n)
+    ln = rng.uniform(60, 220, n)          # long streaks
+    w = rng.uniform(30, 90, n)            # very wide -> giant buckets
+    z = rng.uniform(0.25, 0.8, n)         # close range
+    ip1 = np.stack([x, y_sim + ln], -1)
+    ip2 = np.stack([x, y_sim], -1)
+    wp1 = np.stack([x / 100, np.ones(n), -z], -1)
+    wp2 = np.stack([x / 100, 0.9 * np.ones(n), -z], -1)
+    rec = finalize_raw_streaks(ip1, ip2, w, w * 0.9, wp1, wp2, (W, H))
+    rec = cull_to_frame(rec, (W, H))
+    drops_one = pack_drop_batch(rec, 16)
+    drops = jax.tree.map(lambda a: jnp.stack([a] * B), drops_one)
+
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    rng2 = np.random.RandomState(0)
+    bg = jnp.asarray(rng2.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng2.rand(B, H, W) * 40 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(9), B)
+    raster = RasterConfig(buckets=(
+        BucketSpec(40, 32, 5, 16),
+        BucketSpec(320, 192, 32, 16),      # 2-tile plan
+        BucketSpec(704, 384, 48, 8),       # 5-tile plan
+    ))
+    settings = RenderSettings(camera=CameraSettings(wh=(W, H),
+                                                    ccd_wh=(W, H)))
+    base = PipelineConfig(settings=settings, image_hw=(H, W),
+                          fallrate=10.0, raster=raster, env_downsample=8)
+
+    out_x = render_frames(bg, depth, drops, bank,
+                          jnp.asarray(db.bin_edges), keys,
+                          dataclasses.replace(base, composite_mode="xla"))
+    from raintpu.render.frame import _render_frames_fused
+    out_f = jax.jit(
+        lambda *a: _render_frames_fused(*a, base, interpret=True))(
+        bg, depth, drops, bank, jnp.asarray(db.bin_edges), keys)
+    assert float(np.asarray(out_x.rain_mask).sum()) > 10.0, \
+        "giant-drop scene must produce substantial mask mass"
+    np.testing.assert_allclose(np.asarray(out_f.rain_mask),
+                               np.asarray(out_x.rain_mask), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f.rainy_image),
+                               np.asarray(out_x.rainy_image), atol=2e-4)
