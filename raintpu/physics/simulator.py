@@ -256,6 +256,28 @@ def simulate_frames(key: jax.Array, cfg: SimConfig,
                               focal_scale)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def simulate_frames_keyed(keys: jax.Array, cfg: SimConfig,
+                          fallrate: jnp.ndarray,
+                          cam_speed_mps: jnp.ndarray,
+                          exposure_s: jnp.ndarray,
+                          focal_scale: jnp.ndarray) -> DropBatch:
+    """Like :func:`simulate_frames` but with caller-supplied per-frame
+    keys (the online job derives key[i] = fold_in(seed, frame_idx) so a
+    frame's drops are independent of batching). Jitted with ``cfg``
+    static — one compiled executable per SimConfig, cached by jax."""
+    return jax.vmap(lambda k, f, s, e, fo: simulate_frame(
+        k, cfg, f, s, e, fo))(keys, fallrate, cam_speed_mps, exposure_s,
+                              focal_scale)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def truncated_counts(keys: jax.Array, cfg: SimConfig,
+                     fallrate: jnp.ndarray) -> jnp.ndarray:
+    """Vmapped :func:`truncated_count`, jitted per SimConfig."""
+    return jax.vmap(lambda k, f: truncated_count(k, cfg, f))(keys, fallrate)
+
+
 def schedule_from_settings(settings, fallrate: float,
                            n_frames: Optional[int] = None):
     """Build per-frame (fallrate, speed, exposure, focal_scale) arrays

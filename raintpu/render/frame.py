@@ -60,18 +60,23 @@ class PipelineConfig:
     # Field accumulation backend:
     #   "auto"   -> "fused" on TPU, "xla" elsewhere
     #   "fused"  -> single Pallas kernel rasterizes + composites
-    #   "pallas" -> XLA raster + Pallas composite kernel
     #   "xla"    -> XLA raster + XLA scatter (golden/CPU path)
+    # (The round-1 two-stage "pallas" mode — XLA raster + Pallas
+    # composite — was retired in round 3: it was no longer the fast
+    # path anywhere, could not do saturation, and tripled the mode
+    # matrix tests had to cover.)
     composite_mode: str = "auto"
 
     def resolved_composite_mode(self) -> str:
-        if self.composite_mode != "auto":
-            return self.composite_mode
-        import jax
-        return "fused" if jax.default_backend() == "tpu" else "xla"
-
-    def use_pallas(self) -> bool:
-        return self.resolved_composite_mode() in ("pallas", "fused")
+        mode = self.composite_mode
+        if mode == "auto":
+            import jax
+            return "fused" if jax.default_backend() == "tpu" else "xla"
+        if mode not in ("fused", "xla"):
+            raise ValueError(
+                f"composite_mode={mode!r}: expected 'auto', 'fused' or "
+                "'xla' (the two-stage 'pallas' mode was retired)")
+        return mode
 
     @property
     def image_wh(self) -> Tuple[int, int]:
@@ -470,39 +475,6 @@ def render_frames(bg: jnp.ndarray,
                                                  bin_edges, k, cfg, pn),
             in_axes=(0, 0, 0, 0, None if pano is None else 0))(
             bg, depth, drops, keys, pano)
-    if mode == "fused":
-        return _render_frames_fused(
-            bg, depth, drops, textures, bin_edges, keys, cfg,
-            interpret=jax.default_backend() != "tpu", pano=pano)
-
-    from raintpu.ops.pallas.composite_kernel import (
-        composite_drops_pallas_batched)
-
-    if cfg.compute_saturation_mask:
-        raise NotImplementedError(
-            "compute_saturation_mask is supported by the 'fused' and "
-            "'xla' composite modes (and 'auto'), not the two-stage "
-            "'pallas' mode")
-
-    def stage1(b, d, dr, k, pn):
-        fogged, env_photo, env_save = frame_background(b, d, cfg, pn)
-        buckets, lo, add_rgb, _gains, overflow = drop_patches(
-            env_photo, dr, textures, bin_edges, k, cfg)
-        return fogged, env_save, buckets, lo, add_rgb, overflow
-
-    fogged, env_save, buckets, lo, add_rgb, overflow = jax.vmap(
-        stage1, in_axes=(0, 0, 0, 0, None if pano is None else 0))(
-        bg, depth, drops, keys, pano)
-
-    fields = composite_drops_pallas_batched(
-        cfg.image_hw, buckets, lo, add_rgb)
-
-    def stage2(b, fg, fl, env, ov):
-        return finalize_frame(b, fg, fl, env, ov, cfg)
-
-    if env_save is None:
-        return jax.vmap(
-            lambda b, fg, fl, ov: finalize_frame(b, fg, fl, None, ov,
-                                                 cfg))(
-            bg, fogged, fields, overflow)
-    return jax.vmap(stage2)(bg, fogged, fields, env_save, overflow)
+    return _render_frames_fused(
+        bg, depth, drops, textures, bin_edges, keys, cfg,
+        interpret=jax.default_backend() != "tpu", pano=pano)

@@ -16,7 +16,9 @@ import numpy as np
 
 from raintpu.particles import xml_io
 from raintpu.physics.simulator import (SimConfig, schedule_from_settings,
-                                       simulate_frame, truncated_count)
+                                       simulate_frame,
+                                       simulate_frames_keyed,
+                                       truncated_count, truncated_counts)
 from raintpu.render.camera import settings_from_dict
 from raintpu.render.pipeline import RenderJob
 
@@ -102,18 +104,16 @@ class OnlineRenderJob(RenderJob):
         pairs = [self._sim_args(i) for i in frame_indices]
         keys = jnp.stack([k for k, _ in pairs])
         sched = np.asarray([i for _, i in pairs])
-        # simulate_frames splits one key per frame; feed per-frame keys
-        # directly so results stay identical to _drops_for_frame.
-        batch = jax.vmap(lambda k, f, s, e, fo: simulate_frame(
-            k, self._sim_cfg, f, s, e, fo))(
-            keys,
+        # Per-frame keys keep results identical to _drops_for_frame; the
+        # jitted-per-SimConfig entry points avoid re-tracing each batch.
+        batch = simulate_frames_keyed(
+            keys, self._sim_cfg,
             jnp.asarray(self._sched_fall[sched]),
             jnp.asarray(self._sched_speed[sched]),
             jnp.asarray(self._sched_expo[sched]),
             jnp.asarray(self._sched_focal[sched]))
-        trunc = np.asarray(jax.vmap(
-            lambda k, f: truncated_count(k, self._sim_cfg, f))(
-            keys, jnp.asarray(self._sched_fall[sched])))
+        trunc = np.asarray(truncated_counts(
+            keys, self._sim_cfg, jnp.asarray(self._sched_fall[sched])))
         for bi, fi in enumerate(frame_indices):
             if fi not in self._trunc_seen:
                 self._trunc_seen.add(fi)

@@ -414,7 +414,10 @@ class RenderJob:
         sats = np.asarray(out.saturation_mask) \
             if cfg.compute_saturation_mask else None
 
-        overflow = int(np.asarray(out.overflow).sum())
+        # Padded duplicate frames must not count toward overflow: slice
+        # to the real batch before summing (truncation has the
+        # _trunc_seen guard; this is the overflow-side equivalent).
+        overflow = int(np.asarray(out.overflow)[:n_real].sum())
         if overflow > 0:
             self._overflow_total += overflow
             print_warning(

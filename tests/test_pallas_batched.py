@@ -13,50 +13,19 @@ from raintpu.render.camera import CameraSettings, RenderSettings
 from raintpu.render.frame import PipelineConfig, render_frames
 
 
-def test_render_frames_pallas_matches_xla():
-    W, H, cap, B = 96, 48, 32, 3
-    db = procedural_streak_database()
-    bank = texture_bank(db)
-    sim = SimConfig(image_wh=(W, H), focal_px=(300.0, 300.0),
-                    exposure_s=2e-3, capacity=cap, z_max=5.0)
-    drops = simulate_frames(jax.random.PRNGKey(1), sim,
-                            jnp.full(B, 150.0), jnp.full(B, 5.0),
-                            jnp.full(B, 2e-3), jnp.ones(B))
-    rng = np.random.RandomState(0)
-    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
-    depth = jnp.asarray((rng.rand(B, H, W) * 40 + 3).astype(np.float32))
-    keys = jax.random.split(jax.random.PRNGKey(2), B)
-    raster = RasterConfig(buckets=(BucketSpec(32, 24, 4, cap),
-                                   BucketSpec(64, 48, 8, 8)))
-    settings = RenderSettings(camera=CameraSettings(wh=(W, H),
-                                                    ccd_wh=(W, H)))
-    base = PipelineConfig(settings=settings, image_hw=(H, W),
-                          fallrate=150.0, raster=raster, env_downsample=8)
+def test_retired_pallas_mode_rejected():
+    # The round-1 two-stage "pallas" composite mode was retired in
+    # round 3; asking for it must fail loudly, not fall through.
+    import pytest
 
-    cfg_x = dataclasses.replace(base, composite_mode="xla")
-    out_x = render_frames(bg, depth, drops, bank, jnp.asarray(db.bin_edges),
-                          keys, cfg_x)
-    # Pallas path in interpret mode runs on CPU; jit of interpret=False
-    # pallas on CPU is unsupported, so monkeypatch interpret through.
-    import raintpu.ops.pallas.composite_kernel as ck
-    orig = ck.composite_drops_pallas_batched
-
-    def interp(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    ck.composite_drops_pallas_batched = interp
-    try:
-        cfg_p = dataclasses.replace(base, composite_mode="pallas")
-        out_p = render_frames(bg, depth, drops, bank,
-                              jnp.asarray(db.bin_edges), keys, cfg_p)
-    finally:
-        ck.composite_drops_pallas_batched = orig
-
-    np.testing.assert_allclose(np.asarray(out_p.rain_mask),
-                               np.asarray(out_x.rain_mask), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out_p.rainy_image),
-                               np.asarray(out_x.rainy_image), atol=1e-5)
+    base = PipelineConfig(
+        settings=RenderSettings(camera=CameraSettings(wh=(64, 32),
+                                                      ccd_wh=(64, 32))),
+        image_hw=(32, 64), fallrate=10.0,
+        raster=RasterConfig(buckets=(BucketSpec(32, 24, 4, 8),)),
+        composite_mode="pallas")
+    with pytest.raises(ValueError, match="retired"):
+        base.resolved_composite_mode()
 
 
 def test_render_frames_fused_matches_xla():
