@@ -113,17 +113,18 @@ def main():
     assert mask_mass > 1.0, f"no rain rendered (mask mass {mask_mass})"
     assert overflow == 0, f"{overflow} drops overflowed bucket capacity"
 
-    # Best of 3 timed runs (~0.4 s each): the remote-tunnel device
-    # shows ~5-9% run-to-run variance; steady-state throughput is the
-    # fastest clean pass.
-    dt = float("inf")
-    for _ in range(3):
+    # Median of 5 timed runs (~0.4 s each): the remote-tunnel device
+    # shows ~5-9% run-to-run variance; the median is the conservative
+    # steady-state estimate (round 2 used best-of-3 — VERDICT asked
+    # for the less flattering estimator).
+    dts = []
+    for _ in range(5):
         t0 = time.perf_counter()
         acc = float(many_jit(*data))
-        dt = min(dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
         assert np.isfinite(acc)
 
-    imgs_per_sec = BATCH * iters / dt
+    imgs_per_sec = BATCH * iters / float(np.median(dts))
     print(json.dumps({
         "metric": "KITTI 1242x375 render throughput @10mm/hr "
                   f"(batch={BATCH}, ~{drops_per_frame:.0f} drops/frame, "

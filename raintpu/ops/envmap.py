@@ -105,10 +105,11 @@ def _source_indices(geom: EnvmapGeometry, dtype=jnp.float32):
     return src_r, jnp.broadcast_to(src_c[None, :], src_r.shape), covered
 
 
-# Maps up to this many pixels use the one-hot matmul formulation (MXU)
-# instead of a gather (TPU gathers are slow and compile poorly). The
-# photometry map (downsampled) is always below this; the full-res
-# --save_envmap output uses the gather.
+# Maps up to this many pixels use the dense one-hot matmul formulation
+# (one row_onehot tensor); larger maps use the chunked-central matmul
+# (same exact values, bounded working set). TPU gathers are never on
+# this path — a full-res 512x1573 batch-12 gather measured 36 ms
+# (3 GB/s effective); the chunked matmul is ~20x faster (round 3).
 MATMUL_MAX_PIXELS = 262_144
 
 
@@ -117,17 +118,95 @@ def generate_envmap(background: jnp.ndarray,
     """Image (H, W, 3) in [0,1] -> envmap (H, W_env, 3).
 
     Matches the reference pipeline output to visual tolerance (gather
-    instead of scatter; no interior sparsity holes, no uint8 rounding).
+    inversion instead of scatter; no interior sparsity holes, no uint8
+    rounding).
     """
     if geom.height * geom.env_width <= MATMUL_MAX_PIXELS:
         env, covered = _generate_matmul(background, geom)
     else:
-        src_r, src_c, covered = _source_indices(geom, background.dtype)
-        env = background[src_r, src_c]             # (H, W_env, 3) gather
+        env, covered = _generate_matmul_chunked(background, geom)
 
     kernel = cv2_gaussian_kernel(FEATHER_KSIZE, FEATHER_SIGMA)
     blurred = separable_blur(env, kernel)
     return jnp.where(covered[..., None], env, blurred)
+
+
+def _central_source_indices(geom: EnvmapGeometry, dtype=jnp.float32):
+    """Source coords + coverage for the CENTRAL cylinder only
+    (cyl_width columns, no mirror flanks). Same math as
+    :func:`_source_indices` without the column-mirror arithmetic."""
+    h, w = geom.height, geom.width
+    cx, cy = w // 2, h // 2
+    f = float(geom.focal_env)
+
+    cyl_col = jnp.arange(geom.cyl_width)
+    dc = f * jnp.tan((cyl_col.astype(dtype) + geom.min_x - cx) / f)
+    src_c = jnp.round(dc + cx).astype(jnp.int32)            # (Wc,)
+
+    r = jnp.arange(h, dtype=dtype)
+    dr = (r[:, None] - cy) * jnp.sqrt(dc[None, :] ** 2 + f * f) / f
+    src_r = jnp.round(dr + cy).astype(jnp.int32)            # (H, Wc)
+
+    covered = (src_r >= 0) & (src_r <= h - 1) & \
+              (src_c >= 0)[None, :] & (src_c <= w - 1)[None, :]
+    return (jnp.clip(src_r, 0, h - 1), jnp.clip(src_c, 0, w - 1),
+            covered)
+
+
+# Column-chunk width of the chunked row-resample (lane-width multiple;
+# bounds the transient one-hot at CHUNK x H x H floats).
+_CHUNK_COLS = 128
+
+
+def _generate_matmul_chunked(background: jnp.ndarray,
+                             geom: EnvmapGeometry):
+    """Gather-free envmap at any size: compute the CENTRAL cylinder by
+    (column-permute matmul) x (chunked per-column row-resample matmul),
+    then build the mirror flanks as flips — they are exact column
+    reflections of the central part (bad_weather.py:800-813), so no
+    extra compute. The per-chunk one-hot keeps the working set at
+    CHUNK x H x H instead of W_env x H x H (1.6 GB at Cityscapes full
+    res, which is why the dense path is capped).
+
+    Each output pixel's one-hot row has exactly one nonzero, so the
+    matmul reproduces the gather BIT-EXACTLY.
+    """
+    h, w = geom.height, geom.width
+    wc = geom.cyl_width
+    b = geom.border
+    src_r, src_c, covered_c = _central_source_indices(
+        geom, background.dtype)
+
+    # Stage 1: column permutation (src_c constant along rows).
+    col_onehot = (src_c[None, :] ==
+                  jnp.arange(w)[:, None]).astype(background.dtype)
+    env1 = jnp.einsum("hwk,wc->hck", background, col_onehot,
+                      preferred_element_type=jnp.float32)    # (H, Wc, 3)
+
+    # Stage 2: per-column row resample, in column chunks.
+    pad = (-wc) % _CHUNK_COLS
+    src_r_p = jnp.pad(src_r, ((0, 0), (0, pad)))
+    env1_p = jnp.pad(env1, ((0, 0), (0, pad), (0, 0)))
+    rows = jnp.arange(h)
+    chunks = []
+    for c0 in range(0, wc + pad, _CHUNK_COLS):
+        oh = (src_r_p[:, c0:c0 + _CHUNK_COLS, None] ==
+              rows[None, None, :]).astype(background.dtype)
+        chunks.append(jnp.einsum(
+            "ocr,rck->ock", oh, env1_p[:, c0:c0 + _CHUNK_COLS],
+            preferred_element_type=jnp.float32))
+    central = jnp.concatenate(chunks, axis=1)[:, :wc]        # (H, Wc, 3)
+
+    # Mirror flanks (verified against _source_indices' column map):
+    #   c_total <  b      -> cyl col b-1-c_total   = flip(central[:, :b])
+    #   b <= c_total < 3b -> cyl col c_total - b   = central[:, :2b]
+    #   c_total >= 3b     -> cyl col wc-1-(ct-3b)  = flip(central[:, b:])
+    env = jnp.concatenate([central[:, b - 1::-1], central[:, :2 * b],
+                           central[:, :b - 1:-1]], axis=1)
+    covered = jnp.concatenate(
+        [covered_c[:, b - 1::-1], covered_c[:, :2 * b],
+         covered_c[:, :b - 1:-1]], axis=1)
+    return env, covered
 
 
 def _generate_matmul(background: jnp.ndarray, geom: EnvmapGeometry):

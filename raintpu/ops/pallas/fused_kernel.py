@@ -88,6 +88,13 @@ def _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks, modes_y,
     yhat = (hy * inv_hz + 0.5) * (1.0 / th)
 
     # Damped DCT series via Chebyshev recurrence, rank by rank.
+    # MEASURED round 3: sharing the cos(m*theta) recurrence across
+    # ranks (mode-outer, 438 -> 216 ops/px at R=6, My=16, Mx=8) is
+    # SLOWER on hardware — 828 vs 899 img/s full-width, 1067 vs 1099
+    # strip-mode — because it keeps R rank accumulators live and the
+    # extra vector-register pressure costs more than the arithmetic
+    # saved. Rank-outer keeps ~4 live buffers and wins; don't "optimize"
+    # this into the shared form again without re-measuring.
     ty = jnp.cos(jnp.pi * yhat)
     tx = jnp.cos(jnp.pi * xhat)
     g = jnp.zeros((tile_h, pw2), jnp.float32)
@@ -122,21 +129,42 @@ def _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks, modes_y,
     return jnp.where(g > ALPHA_CUTOFF, g, 0.0)
 
 
-def _accum_rows(scr_bank, g, prm, n_planes):
-    """scr_bank[i] += contribution_i(g) for the plane layout."""
+def _plane_contribs(g, prm, n_planes):
+    """Per-plane contributions of patch g (alpha, log-att, additive
+    rgb[, saturation rgb])."""
     lo = prm(P_LO)
-    scr_bank[0] = scr_bank[0] + g
-    scr_bank[1] = scr_bank[1] + jnp.log(jnp.maximum(1.0 - g * lo,
-                                                    LOG_EPS))
-    scr_bank[2] = scr_bank[2] + g * prm(P_ADDR)
-    scr_bank[3] = scr_bank[3] + g * prm(P_ADDG)
-    scr_bank[4] = scr_bank[4] + g * prm(P_ADDB)
+    out = [g,
+           jnp.log(jnp.maximum(1.0 - g * lo, LOG_EPS)),
+           g * prm(P_ADDR), g * prm(P_ADDG), g * prm(P_ADDB)]
     if n_planes == 8:
         # Saturation planes: sum of clip(drop_rgb, 0, 1) per drop
         # (reference bad_weather.py:452-453,459-460).
-        scr_bank[5] = scr_bank[5] + jnp.clip(g * prm(P_SATR), 0.0, 1.0)
-        scr_bank[6] = scr_bank[6] + jnp.clip(g * prm(P_SATG), 0.0, 1.0)
-        scr_bank[7] = scr_bank[7] + jnp.clip(g * prm(P_SATB), 0.0, 1.0)
+        out += [jnp.clip(g * prm(P_SATR), 0.0, 1.0),
+                jnp.clip(g * prm(P_SATG), 0.0, 1.0),
+                jnp.clip(g * prm(P_SATB), 0.0, 1.0)]
+    return out
+
+
+def _accum_rows(scr_bank, g, prm, n_planes):
+    """scr_bank[i] += contribution_i(g) for the plane layout."""
+    for i, c in enumerate(_plane_contribs(g, prm, n_planes)):
+        scr_bank[i] = scr_bank[i] + c
+
+
+def _accum_rows_strip(scr_bank, g, prm, n_planes, s, pw2):
+    """Strip variant: g lives on a (tile_h, LANE) strip whose image
+    columns start s lanes into the window. Contributions are computed
+    on the strip (the log transcendental included — half the lanes of
+    the full-width path), stacked, zero-extended and lane-rotated into
+    window position with ONE dynamic roll, then accumulated. Outside
+    the strip every contribution is exactly 0 (log(1 - 0*lo) = 0)."""
+    tile_h = g.shape[0]
+    contribs = jnp.stack(_plane_contribs(g, prm, n_planes))
+    flat = contribs.reshape(n_planes * tile_h, LANE)
+    flat = jnp.pad(flat, ((0, 0), (0, pw2 - LANE)))
+    placed = pltpu.roll(flat, s, 1).reshape(n_planes, tile_h, pw2)
+    for i in range(n_planes):
+        scr_bank[i] = scr_bank[i] + placed[i]
 
 
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
@@ -210,7 +238,8 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 
 
 def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
-                           th: int, tw: int, n_planes: int):
+                           th: int, tw: int, n_planes: int,
+                           strip_pad: int = 0):
     """Depth-3 pipelined kernel (single-tile windows only).
 
     The serial kernel pays the full HBM round-trip latency per drop
@@ -337,9 +366,25 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                         pltpu.make_async_copy(
                             w_p1, scr3.at[m2], sems_r.at[m2]).start()
 
-            g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0], a_c[1],
-                            r_ranks, modes_y, modes_x, th, tw,
-                            tile_h, pw2)
+            if strip_pad:
+                # Strip mode (round 3): this bucket's content + erf
+                # tails are guaranteed to fit in one LANE-wide strip
+                # (pw + 2*strip_pad <= LANE, checked by the caller), so
+                # the patch is evaluated on (tile_h, LANE) — half the
+                # VPU work of the full window — and lane-rotated into
+                # window position at accumulate time. DMAs and hazard
+                # logic are unchanged (windows stay pw2 wide).
+                s = jnp.clip(
+                    jnp.floor(prm(P_MINCX)).astype(jnp.int32)
+                    - strip_pad - a_c[0], 0, pw2 - LANE)
+                g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0] + s,
+                                a_c[1], r_ranks, modes_y, modes_x,
+                                th, tw, tile_h, LANE)
+            else:
+                s = None
+                g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0], a_c[1],
+                                r_ranks, modes_y, modes_x, th, tw,
+                                tile_h, pw2)
 
             for par in (0, 1, 2):
                 cur = par
@@ -352,7 +397,11 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                     pltpu.make_async_copy(
                         w_c, scr3.at[cur], sems_r.at[cur]).wait()
 
-                    _accum_rows(scr3.at[cur], g, prm, n_planes)
+                    if strip_pad:
+                        _accum_rows_strip(scr3.at[cur], g, prm,
+                                          n_planes, s, pw2)
+                    else:
+                        _accum_rows(scr3.at[cur], g, prm, n_planes)
 
                     pltpu.make_async_copy(
                         scr3.at[cur], w_c, sems_w.at[cur]).start()
@@ -380,7 +429,8 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window_hw", "tex_hw", "interpret"))
+    jax.jit,
+    static_argnames=("window_hw", "tex_hw", "strip_pad", "interpret"))
 def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
                            anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
@@ -389,6 +439,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
                            fields: jnp.ndarray,    # (B, 5|8, HP, WP) f32
                            window_hw,              # static (PH2, PW2)
                            tex_hw,                 # static (TH, TW)
+                           strip_pad: int = 0,     # static, 0 = off
                            interpret: bool = False):
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
@@ -422,8 +473,11 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
     if n_tiles == 1:
         # Hot path: double-buffered pipelined kernel (see
         # _make_kernel_pipelined) — DMA latency hides under compute.
+        if strip_pad and pw2 <= LANE:
+            strip_pad = 0   # window is already one lane-tile wide
         kernel = _make_kernel_pipelined(r_ranks, modes_y, modes_x,
-                                        tex_hw[0], tex_hw[1], n_planes)
+                                        tex_hw[0], tex_hw[1], n_planes,
+                                        strip_pad=strip_pad)
         scratch_shapes = [
             pltpu.VMEM((3, n_planes, tile_h, pw2), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),

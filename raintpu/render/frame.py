@@ -405,14 +405,21 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     for c0 in range(0, bsz, MAX_KERNEL_BATCH):
         c1 = min(c0 + MAX_KERNEL_BATCH, bsz)
         fields = jnp.zeros((c1 - c0, n_planes, hp, wp), jnp.float32)
-        for plan, bk in zip(plans, buckets):
+        for plan, bspec, bk in zip(plans, bspecs, buckets):
             n_valid = jnp.sum(bk["valid"][c0:c1].astype(jnp.int32),
                               axis=1)
+            # Strip mode: evaluate the patch on one LANE-wide strip
+            # when the bucket's content + erf tails provably fit
+            # (content <= pw, defocus sigma <= radius/4 -> 5-sigma
+            # tail <= 1.25 * radius). Halves the kernel's VPU work on
+            # the narrow buckets that dominate the population.
+            pad = int(1.25 * bspec.radius) + 2
+            strip = pad if bspec.pw + 2 * pad <= LANE else 0
             fields = fused_raster_composite(
                 bk["params"][c0:c1], bk["anchor"][c0:c1],
                 bk["ayc"][c0:c1], bk["bxc"][c0:c1], n_valid,
                 fields, window_hw=plan, tex_hw=tuple(tex_hw),
-                interpret=interpret)
+                strip_pad=strip, interpret=interpret)
         chunks.append(fields)
     fields = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
                                                                 axis=0)

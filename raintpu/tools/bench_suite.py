@@ -127,7 +127,8 @@ def bench_kitti_sweep():
         def step(i, keys, bg, depth, drops, bank, edges, _c=cfg):
             k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
             out = render_frames(bg, depth, drops, bank, edges, k, _c)
-            return jnp.sum(out.rain_mask[:, ::97, ::97])
+            return (jnp.sum(out.rain_mask[:, ::97, ::97])
+                    + jnp.sum(out.rainy_image[:, ::97, ::97]))
 
         # render_frames is itself jitted (static cfg): direct call
         # passes the data as arguments, never constants.
@@ -156,8 +157,13 @@ def bench_cityscapes_envmap():
     def step(i, keys, bg, depth, drops, bank, edges):
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
+        # envmap summed over ALL pixels: a strided slice lets XLA
+        # DCE-slice the whole full-res map away (round-3 finding: the
+        # step "cost" of the envmap was 5 ms while the real cost was
+        # 37 ms) — the bench must pay for what the pipeline saves.
         return (jnp.sum(out.rain_mask[:, ::97, ::97])
-                + jnp.sum(out.envmap[:, ::131, ::131]))
+                + jnp.sum(out.rainy_image[:, ::97, ::97])
+                + jnp.sum(out.envmap))
 
     _assert_rain(render_frames(bg, depth, drops, bank, edges, keys, cfg))
     rate = B / _timed(step, (keys, bg, depth, drops, bank, edges))
@@ -246,7 +252,8 @@ def bench_nuscenes_6cam():
     def step(i, keys, bg, depth, drops, bank, edges):
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
-        return jnp.sum(out.rain_mask[:, ::97, ::97])
+        return (jnp.sum(out.rain_mask[:, ::97, ::97])
+                + jnp.sum(out.rainy_image[:, ::97, ::97]))
 
     rate = B / _timed(step, (keys, bg, depth, drops, bank, edges))
     dpf = float(counts.mean())
@@ -278,7 +285,8 @@ def bench_online():
                                 jnp.ones(B))
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
-        return jnp.sum(out.rain_mask[:, ::97, ::97])
+        return (jnp.sum(out.rain_mask[:, ::97, ::97])
+                + jnp.sum(out.rainy_image[:, ::97, ::97]))
 
     drops0 = simulate_frames(jax.random.PRNGKey(3), sim_cfg,
                              jnp.full(B, 25.0), jnp.full(B, 8.0),
@@ -312,7 +320,8 @@ def bench_sharded():
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames_sharded(mesh, bg, depth, drops, bank,
                                     edges, k, cfg)
-        return jnp.sum(out.rain_mask[:, ::97, ::97])
+        return (jnp.sum(out.rain_mask[:, ::97, ::97])
+                + jnp.sum(out.rainy_image[:, ::97, ::97]))
 
     _assert_rain(render_frames_sharded(mesh, bg, depth, drops, bank,
                                        edges, keys, cfg))

@@ -90,3 +90,22 @@ def test_envmap_covered_region_preserves_center_pixel():
     # The image center maps to the cylinder center (border + cyl/2).
     c = geom.border + geom.cyl_width // 2
     assert env[h // 2, c, 0] > 0.9
+
+
+def test_chunked_matmul_matches_gather_exactly():
+    """The large-map path (chunked central matmul + mirror flanks,
+    round 3) must reproduce the index-map gather BIT-exactly — each
+    one-hot row has a single nonzero, so the matmul sum has exactly
+    one term."""
+    from raintpu.ops.envmap import (_generate_matmul_chunked,
+                                    _source_indices)
+
+    rng2 = np.random.RandomState(7)
+    for (h, w) in ((96, 256), (64, 130)):   # even and odd cyl widths
+        geom = envmap_geometry(h, w, 6.0)
+        bg = jnp.asarray(rng2.rand(h, w, 3).astype(np.float32))
+        src_r, src_c, cov = _source_indices(geom, jnp.float32)
+        ref = np.asarray(bg)[np.asarray(src_r), np.asarray(src_c)]
+        env, covered = _generate_matmul_chunked(bg, geom)
+        assert np.array_equal(np.asarray(env), ref)
+        assert np.array_equal(np.asarray(covered), np.asarray(cov))
