@@ -164,8 +164,11 @@ def test_online_job(toy):
 
 
 def test_online_batched_matches_eager(toy):
-    """_drops_for_frames (one vmapped sim call) must bit-match the
-    per-frame eager path — same per-frame keys by construction."""
+    """_drops_for_frames (one jitted vmapped sim call) must match the
+    per-frame eager path — same per-frame keys by construction. The
+    RNG draws are bit-identical (same key per frame); float values may
+    differ by jit-vs-eager fusion rounding (~1e-7 rel), so the discrete
+    fields are exact and the continuous ones tightly toleranced."""
     import jax
     import numpy as np
     from raintpu.render.online import OnlineRenderJob
@@ -179,9 +182,13 @@ def test_online_batched_matches_eager(toy):
     for i in range(3):
         one = job._drops_for_frame(i)
         got = jax.tree.map(lambda a: np.asarray(a)[i], batched)
-        for f in ("ip1", "ip2", "iw1", "iw2", "valid"):
+        for f in ("ip1", "ip2", "valid", "max_width", "length"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(one, f)), getattr(got, f), err_msg=f)
+        for f in ("iw1", "iw2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(one, f)), getattr(got, f),
+                rtol=1e-6, err_msg=f)
 
 
 def test_online_export_xml(toy):
