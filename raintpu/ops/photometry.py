@@ -96,6 +96,30 @@ def swap_yz(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([p[..., 0], p[..., 2], p[..., 1]], axis=-1)
 
 
+# Largest (Q pixels x N drops) cone-mask intermediate materialized at
+# once. The mask feeds a matmul, so XLA materializes it in HBM: at the
+# nuScenes 6-cam rig (Q ~ 138k, N = 5248, B = 6) an unchunked mask is
+# ~17 GB > HBM — the round-2 "full-rig compile wall" (the remote
+# compile helper died allocating it; B=3 at 8.7 GB fit, matching the
+# observed boundary exactly). Chunking the drop axis bounds it.
+MAX_MASK_ELEMS = 16_000_000
+_FOV_CHUNK = 256
+
+
+def _cone_sums(p: jnp.ndarray, n: jnp.ndarray, env: EnvFeatures,
+               cos_t, R) -> jnp.ndarray:
+    """Per-drop masked feature sums [x*sa, y*sa, Y*sa, sa] (N, 4)."""
+    # s[q, i]   = dot(R*d_q - p_i, n_i) = R * (D @ n^T) - sum(p*n)
+    # w2[q, i]  = |R*d_q - p_i|^2 = R^2 - 2R*(D @ p^T) + |p_i|^2
+    Dn = env.dirs @ n.T                           # (Q, N) matmul
+    Dp = env.dirs @ p.T                           # (Q, N) matmul
+    s = R * Dn - jnp.sum(p * n, axis=-1)[None, :]
+    w2 = R * R - 2.0 * R * Dp + jnp.sum(p * p, axis=-1)[None, :]
+    inside = (s >= 0) & (s * s >= (cos_t * cos_t) * w2)
+    # (N, Q) @ (Q, 4) -> per-drop [sum x*sa, sum y*sa, sum Y*sa, sum sa]
+    return inside.astype(env.feats.dtype).T @ env.feats
+
+
 def drop_fov_stats(world_pos: jnp.ndarray,
                    env: EnvFeatures,
                    *,
@@ -112,6 +136,8 @@ def drop_fov_stats(world_pos: jnp.ndarray,
       avg_fov_lum — sum(Y*sa inside) / sum(sa over FULL map)
                     (reference bad_weather.py:407 — note full-map divisor)
     """
+    import jax
+
     p = swap_yz(world_pos)                        # (N, 3)
     norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
     n = p / jnp.maximum(norm, 1e-12)              # cone axis per drop
@@ -119,16 +145,23 @@ def drop_fov_stats(world_pos: jnp.ndarray,
     cos_t = jnp.cos(jnp.deg2rad(fov_deg / 2.0)).astype(p.dtype)
     R = jnp.asarray(sphere_radius, p.dtype)
 
-    # s[q, i]   = dot(R*d_q - p_i, n_i) = R * (D @ n^T) - sum(p*n)
-    # w2[q, i]  = |R*d_q - p_i|^2 = R^2 - 2R*(D @ p^T) + |p_i|^2
-    Dn = env.dirs @ n.T                           # (Q, N) matmul
-    Dp = env.dirs @ p.T                           # (Q, N) matmul
-    s = R * Dn - jnp.sum(p * n, axis=-1)[None, :]
-    w2 = R * R - 2.0 * R * Dp + jnp.sum(p * p, axis=-1)[None, :]
-    inside = (s >= 0) & (s * s >= (cos_t * cos_t) * w2)
-
-    # (N, Q) @ (Q, 4) -> per-drop [sum x*sa, sum y*sa, sum Y*sa, sum sa]
-    sums = inside.astype(env.feats.dtype).T @ env.feats
+    n_drops = p.shape[0]
+    q = env.dirs.shape[0]
+    if q * n_drops <= MAX_MASK_ELEMS or n_drops <= _FOV_CHUNK:
+        sums = _cone_sums(p, n, env, cos_t, R)
+    else:
+        # Chunk the drop axis: same FLOPs, bounded mask (see
+        # MAX_MASK_ELEMS). lax.map keeps one chunk in flight (and one
+        # per vmapped frame when batched).
+        pad = (-n_drops) % _FOV_CHUNK
+        p_c = jnp.pad(p, ((0, pad), (0, 0))).reshape(
+            -1, _FOV_CHUNK, 3)
+        n_c = jnp.pad(n, ((0, pad), (0, 0))).reshape(
+            -1, _FOV_CHUNK, 3)
+        sums = jax.lax.map(
+            lambda pn: _cone_sums(pn[0], pn[1], env, cos_t, R),
+            (p_c, n_c))
+        sums = sums.reshape(-1, 4)[:n_drops]
 
     # Degenerate drops (zero world position, or a cone that misses the
     # map) have no coverage; the reference skips such drops via its

@@ -197,13 +197,13 @@ def bench_nuscenes_6cam():
     from raintpu.render.camera import CameraSettings, RenderSettings
     from raintpu.render.frame import PipelineConfig, render_frames
 
-    # Half rig (3 cameras) per device step: the remote compile helper
-    # dies on the full-rig program (B x capacity = 6 x 5248; B=1/B=3 at
-    # cap 5248 and B=6 at cap <= 2560 all compile — the wall is the
-    # total prep-graph size, not any single op). The rig's 6 cameras
-    # are independent, so two half-rig steps render it exactly; the
-    # reported rate is end-to-end images/s across both steps.
-    B, W, H, fallrate = 3, 1600, 900, 100.0
+    # FULL rig (6 cameras) in ONE device step. The round-2 "compile
+    # wall" (B=6 x cap 5248 died in the remote compile helper; B=3
+    # compiled) was root-caused in round 3: the unchunked photometry
+    # cone mask materialized a (B, N_drops, Q_envpx) operand — ~17 GB
+    # at the full rig, over HBM — and ops/photometry.py now chunks the
+    # drop axis (MAX_MASK_ELEMS), so the full rig fits.
+    B, W, H, fallrate = 6, 1600, 900, 100.0
     settings = RenderSettings(camera=CameraSettings(wh=(W, H),
                                                     ccd_wh=(W, H)))
     probe = SimConfig.from_settings(settings, capacity=1)
@@ -257,8 +257,8 @@ def bench_nuscenes_6cam():
 
     rate = B / _timed(step, (keys, bg, depth, drops, bank, edges))
     dpf = float(counts.mean())
-    return {"metric": f"nuScenes 6x1600x900 rig @100mm/hr, 2 half-rig "
-                      f"steps (full population ~{dpf:.0f} drops/frame, "
+    return {"metric": f"nuScenes 6x1600x900 rig @100mm/hr, FULL rig in "
+                      f"one step (full population ~{dpf:.0f} drops/frame, "
                       f"truncated=0, overflow=0, "
                       f"drops/s={rate * dpf:.0f})",
             "value": round(rate, 2), "unit": "images/s",
