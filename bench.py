@@ -39,7 +39,7 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 32      # sweep: 24 -> 844, 32 -> 886, 48 -> 666 img/s
+    BATCH = 24      # sweep
     CAPACITY = 320
     FALLRATE = 10.0
 

@@ -353,3 +353,75 @@ def test_raintpu_matches_reference_code(reference_render, scene,
     gd = cv2.dilate(gm.astype(np.uint8), k) > 0
     interior = ((gm & ~rm & ~rd) | (rm & ~gm & ~gd)).sum()
     assert interior <= 2, f"{interior} interior-disagreement px"
+
+
+def test_xml_parser_matches_reference_parser(ref, tmp_path):
+    """Parse ONE reference-format XML with the real
+    DBManager.load_streaks_from_xml AND raintpu's loader; every parsed
+    field must agree drop-for-drop (render_scale=2 exercises the
+    scaling path too)."""
+    import os as _os
+
+    rng = np.random.RandomState(3)
+    n_frames, n_drops = 3, 12
+    lines = ["<simulation>"]
+    for f in range(n_frames):
+        lines.append(f'<frame id="{f}" t="2000" d="{f * 100000}" '
+                     f'rs="{n_drops}">')
+        for i in range(n_drops):
+            x, y = rng.uniform(5, 300, 2)
+            ln = rng.uniform(2, 40)
+            w_d = rng.uniform(0.4, 9)
+            z = rng.uniform(0.3, 8)
+            lines.append(
+                f'<drop pid="{i}" wp1="({x/100:.4f};{1.0:.4f};{-z:.4f})" '
+                f'wp2="({x/100:.4f};{0.98:.4f};{-z:.4f})" '
+                f'wd1="0.002" wd2="0.0019" '
+                f'ip1="({x:.3f};{y + ln:.3f})" ip2="({x:.3f};{y:.3f})" '
+                f'iw1="{w_d:.3f}" iw2="{w_d * 0.9:.3f}"/>')
+        lines.append("</frame>")
+    lines.append("</simulation>")
+    path = _os.path.join(str(tmp_path), "0000_camera0.xml")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+
+    img_wh = (160, 120)
+    scale = 2.0
+
+    # Real reference parser.
+    dbm = ref.bw.DBManager(streaks_path_xml=path)
+    dbm.load_streaks_from_xml("kitti", {"render_scale": scale},
+                              list(img_wh), use_pickle=False,
+                              verbose=False)
+
+    # raintpu parser.
+    from raintpu.particles import xml_io
+
+    # cull=False: compare the PARSE stage exactly — the reference
+    # applies its in-frame cull later, in the generator frame loop.
+    got = xml_io.load_streaks(path, image_wh=img_wh, use_cache=False,
+                              render_scale=scale, cull=False)
+
+    assert sorted(got) == sorted(dbm.streaks_simulator)
+    for fid, frame in dbm.streaks_simulator.items():
+        rec = got[fid]
+        streaks = list(frame.streaks.values())   # file order
+        assert len(rec["ip1"]) == len(streaks), fid
+        for i, s in enumerate(streaks):
+            np.testing.assert_array_equal(
+                rec["ip1"][i], s.image_position_start, err_msg="ip1")
+            np.testing.assert_array_equal(
+                rec["ip2"][i], s.image_position_end, err_msg="ip2")
+            np.testing.assert_allclose(
+                rec["iw1"][i], s.image_diameter_start, rtol=1e-6)
+            np.testing.assert_allclose(
+                rec["iw2"][i], s.image_diameter_end, rtol=1e-6)
+            np.testing.assert_allclose(
+                rec["wp1"][i], s.world_position_start, rtol=1e-6)
+            np.testing.assert_allclose(
+                rec["wp2"][i], s.world_position_end, rtol=1e-6)
+            assert rec["max_width"][i] == s.max_width
+            assert rec["length"][i] == s.length
+            assert rec["drop_type"][i] == s.drop_type.value
+            np.testing.assert_allclose(rec["ratio"][i], s.ratio,
+                                       rtol=1e-5)
