@@ -39,7 +39,7 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 24      # sweep
+    BATCH = 32      # round-3 sweep (img/s): 24->1044, 32->1099, 40->1086, 48->1095
     CAPACITY = 320
     FALLRATE = 10.0
 
