@@ -44,16 +44,21 @@ def main():
     FALLRATE = 10.0
 
     settings = RenderSettings(camera=CameraSettings())  # KITTI defaults
-    # At 10 mm/hr no drop reaches the giant-streak bucket (the overflow
-    # counters guard this); a 3-bucket config avoids its dead grid.
-    # Bucket capacities are workload-fit (per-frame occupancy at this
-    # config: ~170 / ~55 / ~8): every padded slot costs a gated kernel
-    # grid step, and the bench's overflow assert fails loudly if a
-    # bucket is undersized.
+    # Workload-fitted 4-bucket ladder (round-3 distribution probe: max
+    # needed window at 10-50 mm/hr is 105x78 with 4*sigma <= 19.8, so
+    # the old giant (320,192,32) bucket was empty dead weight whose
+    # multi-tile window cost ~28.7 us/drop; every rung below plans
+    # single-tile -> depth-3 pipelined, and the first three are
+    # strip-mode). Measured ladder sweep at this config (img/s):
+    # 3-bucket hand ladder 1094.8 -> giant bucket replaced 1388.0 ->
+    # this ladder 1617.4. Capacities cover the per-frame max occupancy
+    # (210/51/25/11 at 10 mm/hr); the overflow assert below fails
+    # loudly if a bucket is undersized.
     raster = RasterConfig(buckets=(
-        BucketSpec(40, 32, 5, max(64, CAPACITY * 4 // 5), 16, 8),
-        BucketSpec(96, 64, 12, max(64, CAPACITY * 2 // 5), 24, 10),
-        BucketSpec(320, 192, 32, max(16, CAPACITY // 16), 16, 8),
+        BucketSpec(24, 32, 5, 224, 16, 8),
+        BucketSpec(48, 32, 8, 64, 16, 8),
+        BucketSpec(96, 64, 12, 32, 24, 10),
+        BucketSpec(112, 96, 20, 16, 16, 8),
     ))
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=FALLRATE, raster=raster)
