@@ -75,7 +75,12 @@ class JobSpec:
     batch_size: int = 4
     drop_capacity: int = 2048
     seed: int = 0
-    raster_profile: str = "default"   # default | tiny (tests/smoke)
+    # default: the fixed 4-rung RasterConfig.default ladder;
+    # fitted: measure this weather's drop population and fit the
+    #   bucket ladder to it (ops.rasterize.fit_raster_config — the
+    #   round-3 headline win, ~1.5x over the hand ladder);
+    # tiny: minimal buckets for tests/smoke runs.
+    raster_profile: str = "default"   # default | fitted | tiny
 
 
 class RenderJob:
@@ -257,6 +262,22 @@ class RenderJob:
                         settings=rsettings, image_hw=tuple(hw),
                         fallrate=float(fallrate), raster=raster,
                         env_downsample=8, save_envmap=s.save_envmap,
+                        compute_saturation_mask=s.save_saturation)
+                elif s.raster_profile == "fitted":
+                    # Fit the bucket ladder to this weather's measured
+                    # drop population (sampled from the drop source
+                    # just set up above). Bucket-overflow counters
+                    # still warn if later frames outgrow the fit.
+                    from raintpu.ops.rasterize import fit_raster_config
+                    sample = self._drops_for_frames(
+                        list(range(min(8, max(1, len(files))))))
+                    raster = fit_raster_config(
+                        sample, textures.raw.shape[1:],
+                        (hw[1], hw[0]), rsettings)
+                    cfg = PipelineConfig(
+                        settings=rsettings, image_hw=tuple(hw),
+                        fallrate=float(fallrate), raster=raster,
+                        save_envmap=s.save_envmap,
                         compute_saturation_mask=s.save_saturation)
                 else:
                     cfg = PipelineConfig.build(

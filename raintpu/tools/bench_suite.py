@@ -41,11 +41,15 @@ def _timed(step, data, iters=6):
 
 
 def _assert_rain(out):
-    """Guard against the silent no-op render (zero rain mass)."""
+    """Guard against the silent no-op render (zero rain mass) and
+    against bucket-capacity overflow (a fitted ladder that under-sizes
+    a rung must fail loudly, not drop drops)."""
     import jax.numpy as jnp
 
     mass = float(jnp.sum(out.rain_mask))
     assert mass > 1e-2, f"no rain rendered (mask mass {mass})"
+    overflow = float(jnp.sum(out.overflow))
+    assert overflow == 0, f"{overflow} drops overflowed bucket capacity"
     return mass
 
 
@@ -60,7 +64,6 @@ def _common(B, W, H, fallrate, capacity=None, settings=None, **cfg_kw):
     import numpy as np
 
     from raintpu.data.textures import procedural_streak_database, texture_bank
-    from raintpu.ops.rasterize import RasterConfig
     from raintpu.physics.simulator import (SimConfig, expected_drop_count,
                                            simulate_frames)
     from raintpu.render.camera import CameraSettings, RenderSettings
@@ -91,17 +94,24 @@ def _common(B, W, H, fallrate, capacity=None, settings=None, **cfg_kw):
     else:
         assert counts.max() <= capacity, \
             f"render capacity truncates ({counts.max()}/{capacity})"
-    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
-                         fallrate=float(fallrate),
-                         raster=RasterConfig.default(capacity), **cfg_kw)
     drops = jax.jit(jax.vmap(
         lambda d: compact_drop_batch(d, capacity)))(drops)
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    # Workload-fitted bucket ladder (round 3): fitted rungs replaced
+    # the hand ladders' giant empty rung for a 1.48x headline gain;
+    # the same fitter sizes every suite config from its own measured
+    # population (overflow counters still guard the fit).
+    from raintpu.ops.rasterize import fit_raster_config
+    raster = fit_raster_config(drops, bank.raw.shape[1:], (W, H),
+                               settings)
+    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
+                         fallrate=float(fallrate),
+                         raster=raster, **cfg_kw)
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(1), B)
-    db = procedural_streak_database()
-    bank = texture_bank(db)
     edges = jnp.asarray(db.bin_edges)
     return cfg, sim_cfg, drops, bg, depth, keys, bank, edges
 
@@ -188,7 +198,6 @@ def bench_nuscenes_6cam():
 
     from raintpu.data.textures import (procedural_streak_database,
                                        texture_bank)
-    from raintpu.ops.rasterize import RasterConfig
     from raintpu.particles.schema import compact_drop_batch
     from raintpu.physics.simulator import (SimConfig,
                                            expected_drop_count,
@@ -224,24 +233,19 @@ def bench_nuscenes_6cam():
     drops = jax.jit(jax.vmap(
         lambda d: compact_drop_batch(d, render_cap)))(drops)
 
-    # Workload-fit 3-bucket config (the default 4-bucket program at
-    # this capacity overflows the remote compile helper): ~88% of the
-    # 100 mm/hr population is 1-2 px wide -> bucket 0; the giant-streak
-    # bucket is unused (overflow assert guards the fit).
-    from raintpu.ops.rasterize import BucketSpec
-    raster = RasterConfig(buckets=(
-        BucketSpec(40, 32, 5, render_cap, 16, 8),
-        BucketSpec(96, 64, 12, max(256, render_cap // 4), 24, 10),
-        BucketSpec(320, 192, 32, max(64, render_cap // 16), 16, 8),
-    ))
+    # Workload-fitted ladder (round 3): rungs + capacities sized from
+    # this config's own measured population (overflow assert guards).
+    from raintpu.ops.rasterize import fit_raster_config
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    raster = fit_raster_config(drops, bank.raw.shape[1:], (W, H),
+                               settings)
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=fallrate, raster=raster)
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
     keys = jax.random.split(jax.random.PRNGKey(1), B)
-    db = procedural_streak_database()
-    bank = texture_bank(db)
     edges = jnp.asarray(db.bin_edges)
 
     out = render_frames(bg, depth, drops, bank, edges, keys, cfg)

@@ -329,3 +329,24 @@ def test_cli_export_xml_wired(toy, monkeypatch, tmp_path):
     assert cli.main([]) == 0
     assert captured["export_flag"] is True
     assert captured["export_root"] == os.path.join(str(tmp_path), "toy")
+
+
+def test_fitted_raster_profile(toy, tmp_path):
+    """raster_profile='fitted' fits the bucket ladder to the weather's
+    measured drop population (round-3 perf feature) and renders the
+    same scene within a small tolerance of the tiny hand ladder."""
+    tmp, xml = toy
+    spec = make_spec(tmp, xml, raster_profile="fitted",
+                     output_root=str(tmp_path / "out_fitted"))
+    stats = RenderJob(spec).run()
+    assert stats["rendered"] == 3
+    assert stats["overflowed_drops"] == 0
+    out = os.path.join(str(tmp_path / "out_fitted"), "toy", "seqA",
+                       "rain", "25mm")
+    fitted = np.asarray(Image.open(
+        os.path.join(out, "rainy_image", "000001.png"))).astype(float)
+    base = np.asarray(Image.open(os.path.join(
+        tmp, "output", "toy", "seqA", "rain", "25mm", "rainy_image",
+        "000001.png"))).astype(float)
+    # Different ladders (and supersample) change only sub-pixel AA.
+    assert np.abs(fitted - base).mean() < 3.0   # uint8 levels
