@@ -39,8 +39,8 @@ def main():
     from raintpu.render.frame import PipelineConfig, render_frames
 
     H, W = 375, 1242
-    BATCH = 32      # round-3 sweep (img/s): 24->1044, 32->1099, 40->1086, 48->1095
-    CAPACITY = 320
+    BATCH = 48      # fitted-ladder sweep (img/s): 32->1750, 40->1694*, 48->1796
+    CAPACITY = 320  # (*40 measured pre-mode-truncation; 64 overflows b1)
     FALLRATE = 10.0
 
     settings = RenderSettings(camera=CameraSettings())  # KITTI defaults
@@ -49,16 +49,18 @@ def main():
     # the old giant (320,192,32) bucket was empty dead weight whose
     # multi-tile window cost ~28.7 us/drop; every rung below plans
     # single-tile -> depth-3 pipelined, and the first three are
-    # strip-mode). Measured ladder sweep at this config (img/s):
-    # 3-bucket hand ladder 1094.8 -> giant bucket replaced 1388.0 ->
-    # this ladder 1617.4. Capacities cover the per-frame max occupancy
-    # (210/51/25/11 at 10 mm/hr); the overflow assert below fails
-    # loudly if a bucket is undersized.
+    # strip-mode). Series truncation per rung (ranks 3/3/4/4, small-
+    # rung modes 12x6) is visually identical (mask IoU 0.996 vs the
+    # full series, image diff 6e-6) and worth ~8%. Measured trajectory
+    # at this config (img/s, batch 32): hand 3-rung ladder 1094.8 ->
+    # fitted rungs 1617.4 -> rank/mode truncation 1750.5; batch 48 ->
+    # 1796.4. Capacities cover the per-frame max occupancy; the
+    # overflow assert below fails loudly if a rung is undersized.
     raster = RasterConfig(buckets=(
-        BucketSpec(24, 32, 5, 224, 16, 8),
-        BucketSpec(48, 32, 8, 64, 16, 8),
-        BucketSpec(96, 64, 12, 32, 24, 10),
-        BucketSpec(112, 96, 20, 16, 16, 8),
+        BucketSpec(24, 32, 5, 224, 12, 6, 3),
+        BucketSpec(48, 32, 8, 64, 12, 6, 3),
+        BucketSpec(96, 64, 12, 32, 24, 10, 4),
+        BucketSpec(112, 96, 20, 16, 16, 8, 4),
     ))
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=FALLRATE, raster=raster)

@@ -64,7 +64,11 @@ class BucketSpec:
     modes_y/modes_x truncate the DCT series for this bucket (0 = all):
     buckets whose drops are heavily downscaled or defocused have their
     high modes damped to ~0 anyway, so evaluating them is wasted VPU
-    work (cost scales linearly with mode count)."""
+    work (cost scales linearly with mode count). ``ranks`` truncates
+    the SVD rank axis the same way (0 = all): the texture bank's
+    ranks are energy-ordered and ranks 5-6 add < 0.001 relative rmse
+    even unblurred (measured round 3), while eval cost scales with
+    ranks * (modes_y + modes_x)."""
 
     ph: int
     pw: int
@@ -72,6 +76,7 @@ class BucketSpec:
     capacity: int
     modes_y: int = 0
     modes_x: int = 0
+    ranks: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -473,6 +478,9 @@ def fourier_drop_coefficients(b: BucketSpec, fourier, t_sel, m_sel,
     s_rows (C,), s_cols (C,)).
     """
     ay, bx = fourier
+    if b.ranks:
+        ay = ay[:, :b.ranks]
+        bx = bx[:, :b.ranks]
     if b.modes_y:
         ay = ay[:, :, :b.modes_y]
     if b.modes_x:
@@ -678,14 +686,22 @@ def rasterize_frame_drops(drops: DropBatch,
     return tuple(out)
 
 
-def _fit_modes(ph: int, radius: int) -> Tuple[int, int]:
-    """Mode-truncation policy for a fitted rung (mirrors the hand
-    ladders): small patches carry no high-frequency content worth
-    evaluating, and heavily defocused big ones have their high modes
-    damped to ~0 by the Gaussian mode damping."""
-    if ph <= 48 or radius >= 16:
-        return 16, 8
-    return 24, 10
+def _fit_series(ph: int, radius: int) -> Tuple[int, int, int]:
+    """(modes_y, modes_x, ranks) series truncation for a fitted rung.
+
+    Small patches carry no high-frequency content worth evaluating and
+    heavily defocused big ones have their high modes damped to ~0 by
+    the Gaussian mode damping; the SVD rank axis is energy-ordered and
+    ranks 5-6 add < 0.001 relative rmse even unblurred. Measured
+    (round 3, KITTI-like scene vs a full-series render): the
+    aggressive small-rung setting is visually identical (mask IoU
+    0.996, image mean |diff| 6e-6 — two orders below the golden parity
+    tolerance) and worth ~8% end-to-end."""
+    if ph <= 48:
+        return 12, 6, 3
+    if radius >= 16:
+        return 16, 8, 4
+    return 24, 10, 4
 
 
 def fit_raster_config(drops: DropBatch, tex_hw, image_wh, settings, *,
@@ -695,7 +711,7 @@ def fit_raster_config(drops: DropBatch, tex_hw, image_wh, settings, *,
                       tail_margin: float = 1.15,
                       supersample: int = 2,
                       texture_mode: str = "fourier",
-                      modes_fn=None) -> RasterConfig:
+                      series_fn=None) -> RasterConfig:
     """Fit a bucket ladder to a sampled drop population (host-side).
 
     The hand-tuned ladders carried a giant (320, 192, 32) rung "just in
@@ -806,7 +822,7 @@ def fit_raster_config(drops: DropBatch, tex_hw, image_wh, settings, *,
         occ = int(((bid == bi) & v).sum(axis=1).max())
         cap = max(8, int(occ * capacity_headroom) + capacity_slack)
         cap = int(-(-cap // 8) * 8)
-        my, mx = (modes_fn or _fit_modes)(ph, r)
-        specs.append(BucketSpec(ph, pw, r, cap, my, mx))
+        my, mx, ranks = (series_fn or _fit_series)(ph, r)
+        specs.append(BucketSpec(ph, pw, r, cap, my, mx, ranks))
     return RasterConfig(buckets=tuple(specs), supersample=supersample,
                         texture_mode=texture_mode)
