@@ -52,9 +52,10 @@ def plan_window(ph: int, pw: int):
     ph2 = n_tiles * tile_h
     return ph2, pw2, tile_h, n_tiles
 
-# params row layout (22, B*C)
+# params row layout (22, B*C). P_SGX/P_SGY: blur sigma in NORMALIZED
+# texture coordinates (ops.rasterize.fourier_drop_coefficients).
 P_M00, P_M01, P_M02, P_M10, P_M11, P_M12, P_M20, P_M21, P_M22 = range(9)
-P_MINCX, P_MINCY, P_WCX, P_WCY, P_SCX, P_SCY, P_LO = range(9, 16)
+P_MINCX, P_MINCY, P_WCX, P_WCY, P_SGX, P_SGY, P_LO = range(9, 16)
 P_ADDR, P_ADDG, P_ADDB = range(16, 19)
 # Pre-tau drop color — only read when the kernel runs with the
 # saturation planes (PipelineConfig.compute_saturation_mask).
@@ -113,18 +114,22 @@ def _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks, modes_y,
             cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
         g = g + uy * vx
 
-    # erf soft window (blurred content box) + mirror bound.
+    # erf content window: blurred indicator of the TEXTURE RECT in
+    # normalized texture coordinates — bit-consistent with the XLA
+    # formulation in ops.rasterize._raster_bucket_fourier (see the
+    # model comment there: a patch-space box window lets the mirror
+    # basis fill rotate_bound's zero corners with streak energy).
     sqrt2 = 1.4142135
-    scx = jnp.maximum(prm(P_SCX), 1e-3)
-    scy = jnp.maximum(prm(P_SCY), 1e-3)
-    wcx = prm(P_WCX)
-    wcy = prm(P_WCY)
-    win = (0.5 * (_erf((lx + 0.5) / (sqrt2 * scx))
-                  - _erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
-           * 0.5 * (_erf((ly + 0.5) / (sqrt2 * scy))
-                    - _erf((ly - (wcy - 0.5)) / (sqrt2 * scy))))
-    win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
-                    & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+    sx = jnp.maximum(prm(P_SGX), 2e-3)
+    sy = jnp.maximum(prm(P_SGY), 2e-3)
+    win = (0.5 * (_erf(xhat / (sqrt2 * sx))
+                  - _erf((xhat - 1.0) / (sqrt2 * sx)))
+           * 0.5 * (_erf(yhat / (sqrt2 * sy))
+                    - _erf((yhat - 1.0) / (sqrt2 * sy))))
+    mx = 0.25 + 4.0 * sx
+    my = 0.25 + 4.0 * sy
+    win = jnp.where((xhat >= -mx) & (xhat <= 1.0 + mx)
+                    & (yhat >= -my) & (yhat <= 1.0 + my), win, 0.0)
     g = jnp.clip(g, 0.0, 1.0) * win
     return jnp.where(g > ALPHA_CUTOFF, g, 0.0)
 

@@ -468,14 +468,17 @@ def _raster_bucket_gather(b: BucketSpec, supersample, textures, t_sel,
 
 def fourier_drop_coefficients(b: BucketSpec, fourier, t_sel, m_sel,
                               wh_c, sigma, tex_hw, apply_defocus: bool):
-    """Per-drop damped DCT coefficients + patch-space window sigmas.
+    """Per-drop damped DCT coefficients + texture-space blur sigmas.
 
     Per-drop texture coefficients come via a one-hot matmul (MXU, no
     gather); defocus blur (sigma rows, sigma/2 cols in patch space —
     bad_weather.py:291) and pixel-footprint antialiasing (INTER_AREA
     equivalent, box variance J^2/12) become per-mode Gaussian damping
     through the warp Jacobian. Returns (ayc (C,R,My), bxc (C,R,Mx),
-    s_rows (C,), s_cols (C,)).
+    sig_xhat (C,), sig_yhat (C,)) — the sigmas are the patch-space blur
+    projected into NORMALIZED texture coordinates (the same quantities
+    that drive the mode damping); the rasterizers build the content
+    window from them.
     """
     ay, bx = fourier
     if b.ranks:
@@ -505,7 +508,7 @@ def fourier_drop_coefficients(b: BucketSpec, fourier, t_sel, m_sel,
     sig_yhat = jnp.sqrt(var_ty) / th
     ayc = ayc * _mode_damping(sig_yhat, m_modes)[:, None, :]
     bxc = bxc * _mode_damping(sig_xhat, n_modes)[:, None, :]
-    return ayc, bxc, s_rows, s_cols
+    return ayc, bxc, sig_xhat, sig_yhat
 
 
 def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
@@ -517,34 +520,45 @@ def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
     (VPU); see :func:`fourier_drop_coefficients` for the damping.
     """
     th, tw = tex_hw
-    ayc, bxc, s_rows, s_cols = fourier_drop_coefficients(
+    ayc, bxc, sig_x, sig_y = fourier_drop_coefficients(
         b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw, apply_defocus)
 
     lx, ly, tx, ty = _patch_tex_coords(b.ph, b.pw, m_sel, offx, offy)
     xhat = (tx + 0.5) / tw
     yhat = (ty + 0.5) / th
 
-    # Content window: the reference blurs the warped patch — i.e. the
-    # content times a box window gets convolved with the Gaussian. We
-    # model blur(content * box) ~= blur(content) * blur(box); the
-    # blurred box is a pair of erfs, which gives the soft spilled edge
-    # without the even-periodic basis mirroring whole streaks into the
-    # margins (which would inflate energy several-fold).
+    # Content window: the true patch is blur(T * 1_rect) — the warped
+    # texture, zero outside its support (warpPerspective / rotate_bound
+    # pad with zeros: generator.py:130-171), convolved with the defocus
+    # Gaussian (+ the resize footprint). We model it as
+    # blur_mirror(T) * blur(1_rect): the mirror-extended DCT series
+    # (spectrally damped) times the blurred indicator of the TEXTURE
+    # RECT in normalized texture coordinates. sig_xhat/sig_yhat are the
+    # patch blur projected through the warp Jacobian into those
+    # coordinates — exactly the damping sigmas — so the window's edge
+    # decay in patch space is sqrt(sigma^2 + 1/12) px, the Gaussian
+    # spill plus INTER_AREA's half-pixel softening, and its integral is
+    # the rect area: mass is conserved for any blur. (The round-3 first
+    # cut bounded a PATCH-space box window instead; on rotated thin
+    # streaks the content box is the rotate_bound canvas whose zero
+    # corners the mirror basis filled with streak-mean energy — a
+    # measured 1.76x per-drop mass excess vs the real reference at
+    # 5.7 deg rotation. The texture-rect window zeroes those corners by
+    # construction.)
     erf = tanh_erf
-
     sqrt2 = 1.4142135
-    scx = jnp.maximum(s_cols, 1e-3)[:, None, None]
-    scy = jnp.maximum(s_rows, 1e-3)[:, None, None]
-    wcx = wh_c[:, 0, None, None]
-    wcy = wh_c[:, 1, None, None]
-    win = (0.5 * (erf((lx + 0.5) / (sqrt2 * scx))
-                  - erf((lx - (wcx - 0.5)) / (sqrt2 * scx)))
-           * 0.5 * (erf((ly + 0.5) / (sqrt2 * scy))
-                    - erf((ly - (wcy - 0.5)) / (sqrt2 * scy))))
-    # Bound the basis' mirror extension to a quarter-texture overhang
-    # (edge continuation only; the gather path zeroes outside).
-    win = jnp.where((xhat >= -0.25) & (xhat <= 1.25)
-                    & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+    sx = jnp.maximum(sig_x, 2e-3)[:, None, None]
+    sy = jnp.maximum(sig_y, 2e-3)[:, None, None]
+    win = (0.5 * (erf(xhat / (sqrt2 * sx))
+                  - erf((xhat - 1.0) / (sqrt2 * sx)))
+           * 0.5 * (erf(yhat / (sqrt2 * sy))
+                    - erf((yhat - 1.0) / (sqrt2 * sy))))
+    # Hard bound: the tanh-erf window is < ALPHA_CUTOFF beyond ~3.5
+    # sigma outside the rect, so this only guards far mirror copies.
+    mx = 0.25 + 4.0 * sx
+    my = 0.25 + 4.0 * sy
+    win = jnp.where((xhat >= -mx) & (xhat <= 1.0 + mx)
+                    & (yhat >= -my) & (yhat <= 1.0 + my), win, 0.0)
 
     uy = _eval_dct_rank_series(ayc, yhat)
     vx = _eval_dct_rank_series(bxc, xhat)
@@ -606,19 +620,19 @@ def raster_params_frame(drops: DropBatch,
         ax = jnp.clip(a[:, 0], 0.0, float(w_img)).astype(jnp.int32)
         ay = jnp.clip(a[:, 1], 0.0, float(h_img)).astype(jnp.int32)
 
-        ayc, bxc, s_rows, s_cols = fourier_drop_coefficients(
+        ayc, bxc, sig_x, sig_y = fourier_drop_coefficients(
             b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw, apply_defocus)
         # Zero coefficients of invalid slots (cheap belt + braces on top
         # of the kernel's count gate).
         ayc = jnp.where(sel_valid[:, None, None], ayc, 0.0)
 
         m = m_sel.reshape(-1, 9)
-        zeros = jnp.zeros_like(s_rows)
+        zeros = jnp.zeros_like(sig_x)
         params = jnp.stack([
             m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4], m[:, 5],
             m[:, 6], m[:, 7], m[:, 8],
             minc[:, 0], minc[:, 1], wh_c[:, 0], wh_c[:, 1],
-            s_cols, s_rows,
+            sig_x, sig_y,
             zeros, zeros, zeros, zeros,    # lo, add_rgb (caller fills)
             zeros, zeros, zeros,           # sat_rgb (caller fills)
         ], axis=0)                                       # (N_PARAMS, C)

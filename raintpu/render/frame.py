@@ -387,10 +387,14 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     h, w = cfg.image_hw
     bspecs = cfg.raster.buckets
     plans = [plan_window(b.ph, b.pw) for b in bspecs]
-    max_ph = max(p[0] for p in plans) + SUBLANE
-    max_pw = max(p[1] for p in plans) + LANE
-    hp = -(-(h + max_ph) // SUBLANE) * SUBLANE
-    wp = -(-(w + max_pw) // LANE) * LANE
+    # Anchors are clipped to [0, W]x[0, H] then aligned DOWN to
+    # lane/sublane multiples, so the largest possible window start is
+    # (w // LANE) * LANE (resp. (h // SUBLANE) * SUBLANE) and the
+    # planes need exactly that plus the largest window extent — the
+    # old "+ max window + LANE" margin over-padded the planes ~18%
+    # (zero-init + write-back + crop all scale with plane area).
+    hp = (h // SUBLANE) * SUBLANE + max(p[0] for p in plans)
+    wp = (w // LANE) * LANE + max(p[1] for p in plans)
     bsz = bg.shape[0]
     n_planes = 8 if cfg.compute_saturation_mask else 5
     tex_hw = textures.raw.shape[1:]

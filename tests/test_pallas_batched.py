@@ -156,8 +156,11 @@ def test_fused_kernel_overlap_chain():
             params[b, 10, c] = ay + (c % 2)     # mincy
             params[b, 11, c] = 8.0              # wcx
             params[b, 12, c] = 20.0             # wcy
-            params[b, 13, c] = 1.0
-            params[b, 14, c] = 1.0
+            # sigma in NORMALIZED texture coords (~1 px of blur on the
+            # 32/64-px texture) — keeps the content compact so the
+            # same-window/far-window overlap structure is preserved.
+            params[b, 13, c] = 0.03
+            params[b, 14, c] = 0.015
             params[b, P_LO, c] = 0.4
             params[b, P_ADDR, c] = 0.1 * (c + 1)
             params[b, P_ADDG, c] = 0.05
@@ -214,16 +217,19 @@ def test_fused_kernel_overlap_chain():
                     vx = vx + bxc[b, c, r, m] * cm
                     cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
                 g = g + uy * vx
+            # Texture-rect window, mirroring _patch_eval (params rows
+            # 13/14 hold sigma in normalized texture coordinates).
             sq2 = 1.4142135
-            scx = max(params[b, 13, c], 1e-3)
-            scy = max(params[b, 14, c], 1e-3)
-            wcx, wcy = params[b, 11, c], params[b, 12, c]
-            win = (0.5 * (erf((lx + 0.5) / (sq2 * scx))
-                          - erf((lx - (wcx - 0.5)) / (sq2 * scx)))
-                   * 0.5 * (erf((ly + 0.5) / (sq2 * scy))
-                            - erf((ly - (wcy - 0.5)) / (sq2 * scy))))
-            win = np.where((xhat >= -0.25) & (xhat <= 1.25)
-                           & (yhat >= -0.25) & (yhat <= 1.25), win, 0.0)
+            sgx = max(params[b, 13, c], 2e-3)
+            sgy = max(params[b, 14, c], 2e-3)
+            win = (0.5 * (erf(xhat / (sq2 * sgx))
+                          - erf((xhat - 1.0) / (sq2 * sgx)))
+                   * 0.5 * (erf(yhat / (sq2 * sgy))
+                            - erf((yhat - 1.0) / (sq2 * sgy))))
+            mx = 0.25 + 4.0 * sgx
+            my = 0.25 + 4.0 * sgy
+            win = np.where((xhat >= -mx) & (xhat <= 1.0 + mx)
+                           & (yhat >= -my) & (yhat <= 1.0 + my), win, 0.0)
             g = np.clip(g, 0.0, 1.0) * win
             g = np.where(g > 2e-4, g, 0.0)
             sl = np.s_[ayg:ayg + tile_h, axg:axg + pw2]
