@@ -47,6 +47,8 @@ class OnlineRenderJob(RenderJob):
                                    rsettings, weather["fallrate"]))
         self._sim_seed = s.seed
         self._trunc_seen = set()
+        self._render_cap = None
+        self._compact_fn = None
         if self.export_xml:
             if not hasattr(self, "_exports"):
                 self._exports = {}
@@ -95,7 +97,51 @@ class OnlineRenderJob(RenderJob):
         self._truncated_total += int(
             truncated_count(key, self._sim_cfg, fall))
 
+    def _compact_for_render(self, batch):
+        """Pack valid drops to the front and trim the per-drop axis
+        before rendering.
+
+        The simulator's capacity must hold the PRE-cull population, but
+        only ~half survives the in-frame culls, and the renderer's
+        per-drop parameter prep (geometry, routing, bucket compaction,
+        coefficient damping) scales with the capacity it is handed —
+        in-loop compaction is worth +17% end-to-end on the online
+        KITTI 25 mm/hr bench (measured round 3). The render capacity is
+        fixed from the first batch's max valid count (x1.3 + 64,
+        128-aligned, deterministic given the seed/schedule); any later
+        outlier batch that exceeds it is counted as truncated and
+        warned, exactly like the sim-capacity clamp."""
+        import jax
+        import jax.numpy as jnp
+
+        from raintpu.particles.schema import compact_drop_batch
+        from raintpu.utils.logging import print_warning
+
+        sim_cap = batch.valid.shape[-1]
+        valid_counts = np.asarray(jnp.sum(
+            batch.valid.astype(jnp.int32), axis=-1))
+        if self._render_cap is None:
+            cap = int(valid_counts.max() * 1.3) + 64
+            cap = min(-(-cap // 128) * 128, sim_cap)
+            self._render_cap = cap
+            if cap < sim_cap:
+                self._compact_fn = jax.jit(jax.vmap(
+                    lambda d: compact_drop_batch(d, cap)))
+        if self._compact_fn is None:
+            return batch
+        lost = int(np.maximum(valid_counts - self._render_cap, 0).sum())
+        if lost:
+            self._truncated_total += lost
+            print_warning(
+                f"{lost} drop(s) exceeded the fitted render capacity "
+                f"({self._render_cap}) and were dropped this batch.")
+        return self._compact_fn(batch)
+
     def _drops_for_frames(self, frame_indices):
+        return self._compact_for_render(
+            self._simulate_batch(frame_indices))
+
+    def _simulate_batch(self, frame_indices):
         """Batched simulation: one jitted simulate_frames call for the
         whole device batch instead of per-frame eager sim calls."""
         import jax

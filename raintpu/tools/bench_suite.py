@@ -5,7 +5,7 @@ this suite covers the remaining configs:
 
     python -m raintpu.tools.bench_suite [config ...]
 
-configs: kitti_sweep, cityscapes_envmap, nuscenes_6cam, online_4k
+configs: kitti_sweep, cityscapes_envmap, nuscenes_6cam, online, sharded
 (default: all). Each prints one JSON line. All timing is device-side
 looped with a single scalar fetch (see bench.py for why).
 
@@ -273,7 +273,9 @@ def bench_online():
     """Online mode: on-device simulation + render per step (config 5)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
+    from raintpu.particles.schema import compact_drop_batch
     from raintpu.physics.simulator import simulate_frames
     from raintpu.render.frame import render_frames
 
@@ -282,19 +284,25 @@ def bench_online():
     cfg, sim_cfg, _, bg, depth, keys, bank, edges = _common(
         B, 1242, 375, 25)
 
+    drops0 = simulate_frames(jax.random.PRNGKey(3), sim_cfg,
+                             jnp.full(B, 25.0), jnp.full(B, 8.0),
+                             jnp.full(B, 2e-3), jnp.ones(B))
+    # In-loop compaction to the valid population (the OnlineRenderJob
+    # production path does the same): the sim axis holds the pre-cull
+    # population, prep scales with capacity — +17% measured (round 3).
+    cap = min(int(-(-(int(np.asarray(drops0.count()).max() * 1.3) + 64)
+                    // 128) * 128), sim_cfg.capacity)
+
     def step(i, keys, bg, depth, bank, edges):
         k0 = jax.random.fold_in(jax.random.PRNGKey(3), i)
         drops = simulate_frames(k0, sim_cfg, jnp.full(B, 25.0),
                                 jnp.full(B, 8.0), jnp.full(B, 2e-3),
                                 jnp.ones(B))
+        drops = jax.vmap(lambda d: compact_drop_batch(d, cap))(drops)
         k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
         out = render_frames(bg, depth, drops, bank, edges, k, cfg)
         return (jnp.sum(out.rain_mask[:, ::97, ::97])
                 + jnp.sum(out.rainy_image[:, ::97, ::97]))
-
-    drops0 = simulate_frames(jax.random.PRNGKey(3), sim_cfg,
-                             jnp.full(B, 25.0), jnp.full(B, 8.0),
-                             jnp.full(B, 2e-3), jnp.ones(B))
     _assert_rain(render_frames(bg, depth, drops0, bank, edges, keys, cfg))
     rate = B / _timed(step, (keys, bg, depth, bank, edges))
     return {"metric": "online sim+render KITTI @25mm/hr",

@@ -164,11 +164,13 @@ def test_online_job(toy):
 
 
 def test_online_batched_matches_eager(toy):
-    """_drops_for_frames (one jitted vmapped sim call) must match the
+    """_simulate_batch (one jitted vmapped sim call) must match the
     per-frame eager path — same per-frame keys by construction. The
     RNG draws are bit-identical (same key per frame); float values may
     differ by jit-vs-eager fusion rounding (~1e-7 rel), so the discrete
-    fields are exact and the continuous ones tightly toleranced."""
+    fields are exact and the continuous ones tightly toleranced.
+    (_drops_for_frames additionally compacts for render — covered by
+    test_online_compaction below.)"""
     import jax
     import numpy as np
     from raintpu.render.online import OnlineRenderJob
@@ -178,7 +180,7 @@ def test_online_batched_matches_eager(toy):
     job = OnlineRenderJob(spec)
     job._setup_drop_source("seqA", 0, spec.weather[0], (H, W))
 
-    batched = job._drops_for_frames([0, 1, 2])
+    batched = job._simulate_batch([0, 1, 2])
     for i in range(3):
         one = job._drops_for_frame(i)
         got = jax.tree.map(lambda a: np.asarray(a)[i], batched)
@@ -189,6 +191,41 @@ def test_online_batched_matches_eager(toy):
             np.testing.assert_allclose(
                 np.asarray(getattr(one, f)), getattr(got, f),
                 rtol=1e-6, err_msg=f)
+
+
+def test_online_compaction(toy):
+    """_drops_for_frames compacts the simulated batch for render: the
+    valid population is preserved drop-for-drop (packed order), the
+    per-drop axis shrinks to the fitted capacity, and nothing is
+    counted truncated when the capacity holds."""
+    import numpy as np
+    from raintpu.render.online import OnlineRenderJob
+
+    tmp, _xml = toy
+    # Oversized sim capacity (the realistic online shape: the sim axis
+    # holds the pre-cull population) so the fitted render capacity is
+    # strictly smaller and compaction actually engages.
+    spec = make_spec(tmp, None, particles={"seqA": [None]},
+                     drop_capacity=512)
+    job = OnlineRenderJob(spec)
+    job._setup_drop_source("seqA", 0, spec.weather[0], (H, W))
+
+    raw = job._simulate_batch([0, 1, 2])
+    before = int(job._truncated_total)
+    got = job._drops_for_frames([0, 1, 2])
+    assert job._render_cap is not None
+    assert got.valid.shape[-1] == job._render_cap
+    assert got.valid.shape[-1] < raw.valid.shape[-1]  # actually shrank
+    assert int(job._truncated_total) == before  # capacity held
+    rv = np.asarray(raw.valid)
+    gv = np.asarray(got.valid)
+    assert (gv.sum(-1) == rv.sum(-1)).all()
+    for f in ("ip1", "iw1", "length", "drop_type"):
+        ra = np.asarray(getattr(raw, f))
+        ga = np.asarray(getattr(got, f))
+        for b in range(rv.shape[0]):
+            np.testing.assert_array_equal(ga[b][gv[b]], ra[b][rv[b]],
+                                          err_msg=f)
 
 
 def test_online_export_xml(toy):
