@@ -42,13 +42,15 @@ LANE = 128
 MAX_SLAB_AREA = 80_000
 
 
-def plan_window(ph: int, pw: int):
+def plan_window(ph: int, pw: int, sublane: int = SUBLANE):
     """Tile-aligned window plan for a bucket: (ph2, pw2, tile_h, n_tiles).
-    ph2 = n_tiles * tile_h (8-aligned); pw2 lane-aligned."""
-    ph2 = -(-(ph + SUBLANE) // SUBLANE) * SUBLANE
+    ph2 = n_tiles * tile_h (sublane-aligned); pw2 lane-aligned.
+    ``sublane``: 8 for f32 field planes, 16 for bf16 (the TPU memory
+    tile is (8, 128) x 4 bytes — half-precision doubles the sublane)."""
+    ph2 = -(-(ph + sublane) // sublane) * sublane
     pw2 = -(-(pw + LANE) // LANE) * LANE
     n_tiles = max(1, -(-(ph2 * pw2) // MAX_SLAB_AREA))
-    tile_h = -(-(-(-ph2 // n_tiles)) // SUBLANE) * SUBLANE
+    tile_h = -(-(-(-ph2 // n_tiles)) // sublane) * sublane
     ph2 = n_tiles * tile_h
     return ph2, pw2, tile_h, n_tiles
 
@@ -151,9 +153,15 @@ def _plane_contribs(g, prm, n_planes):
 
 
 def _accum_rows(scr_bank, g, prm, n_planes):
-    """scr_bank[i] += contribution_i(g) for the plane layout."""
+    """scr_bank[i] += contribution_i(g) for the plane layout.
+
+    The planes may be bf16 (halves the window RMW bytes — the kernel
+    is HBM-bandwidth-bound on window traffic at the headline config);
+    contributions are computed in f32 and the accumulate rounds at
+    store, so the only loss is one bf16 rounding per overlapping drop."""
     for i, c in enumerate(_plane_contribs(g, prm, n_planes)):
-        scr_bank[i] = scr_bank[i] + c
+        acc = scr_bank[i]
+        scr_bank[i] = (acc.astype(jnp.float32) + c).astype(acc.dtype)
 
 
 def _accum_rows_strip(scr_bank, g, prm, n_planes, s, pw2):
@@ -162,10 +170,13 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, pw2):
     on the strip (the log transcendental included — half the lanes of
     the full-width path), stacked, zero-extended and lane-rotated into
     window position with ONE dynamic roll, then accumulated. Outside
-    the strip every contribution is exactly 0 (log(1 - 0*lo) = 0)."""
+    the strip every contribution is exactly 0 (log(1 - 0*lo) = 0).
+    For bf16 planes the cast happens BEFORE the pad + roll (halves the
+    relayout bytes too)."""
     tile_h = g.shape[0]
+    dtype = scr_bank.dtype
     contribs = jnp.stack(_plane_contribs(g, prm, n_planes))
-    flat = contribs.reshape(n_planes * tile_h, LANE)
+    flat = contribs.reshape(n_planes * tile_h, LANE).astype(dtype)
     flat = jnp.pad(flat, ((0, 0), (0, pw2 - LANE)))
     placed = pltpu.roll(flat, s, 1).reshape(n_planes, tile_h, pw2)
     for i in range(n_planes):
@@ -436,12 +447,12 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 @functools.partial(
     jax.jit,
     static_argnames=("window_hw", "tex_hw", "strip_pad", "interpret"))
-def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
+def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
                            anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
                            bxc: jnp.ndarray,       # (B, C, R, Mx)
                            n_valid: jnp.ndarray,   # (B,) int32
-                           fields: jnp.ndarray,    # (B, 5|8, HP, WP) f32
+                           fields: jnp.ndarray,    # (B, 5|8, HP, WP) f32/bf16
                            window_hw,              # static (PH2, PW2)
                            tex_hw,                 # static (TH, TW)
                            strip_pad: int = 0,     # static, 0 = off
@@ -461,9 +472,15 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
     modes_x = bxc.shape[3]
     ph2, pw2, tile_h, n_tiles = window_hw
     hp, wp = fields.shape[2:]
+    dtype = fields.dtype
 
+    # bf16 planes double the sublane tile: window row starts/sizes must
+    # be 16-aligned (the caller's plan_window(sublane=16) guarantees
+    # tile_h; the anchor alignment happens here).
+    sub = 16 if dtype == jnp.bfloat16 else SUBLANE
+    assert tile_h % sub == 0, (tile_h, sub)
     ax = (anchor[..., 0] // LANE) * LANE
-    ay = (anchor[..., 1] // SUBLANE) * SUBLANE
+    ay = (anchor[..., 1] // sub) * sub
 
     # Lane-pad the mode axes so VMEM blocks are tileable.
     myp = -(-modes_y // LANE) * LANE
@@ -484,7 +501,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
                                         tex_hw[0], tex_hw[1], n_planes,
                                         strip_pad=strip_pad)
         scratch_shapes = [
-            pltpu.VMEM((3, n_planes, tile_h, pw2), jnp.float32),
+            pltpu.VMEM((3, n_planes, tile_h, pw2), dtype),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((3,)),
         ]
@@ -492,7 +509,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
         kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
                               tex_hw[1], n_tiles, n_planes)
         scratch_shapes = [
-            pltpu.VMEM((2, n_planes, tile_h, pw2), jnp.float32),
+            pltpu.VMEM((2, n_planes, tile_h, pw2), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
@@ -518,7 +535,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 19, C) f32
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n_planes, hp, wp),
-                                       jnp.float32),
+                                       dtype),
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

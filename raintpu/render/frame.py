@@ -66,6 +66,14 @@ class PipelineConfig:
     # path anywhere, could not do saturation, and tripled the mode
     # matrix tests had to cover.)
     composite_mode: str = "auto"
+    # Field-plane dtype for the fused path: "bfloat16" halves the
+    # window RMW bytes (the kernel is HBM-bandwidth-bound on window
+    # traffic at production configs), the plane zero-init and the
+    # final composite read. Cost: one bf16 rounding (2^-8 relative)
+    # per overlapping drop on the accumulated planes — validated
+    # against the f32 render (mask IoU / image diff) before becoming
+    # a bench default. The XLA path ignores this (always f32).
+    fields_dtype: str = "float32"
 
     def resolved_composite_mode(self) -> str:
         mode = self.composite_mode
@@ -386,14 +394,17 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
 
     h, w = cfg.image_hw
     bspecs = cfg.raster.buckets
-    plans = [plan_window(b.ph, b.pw) for b in bspecs]
+    dtype = (jnp.bfloat16 if cfg.fields_dtype == "bfloat16"
+             else jnp.float32)
+    sub = 16 if dtype == jnp.bfloat16 else SUBLANE
+    plans = [plan_window(b.ph, b.pw, sub) for b in bspecs]
     # Anchors are clipped to [0, W]x[0, H] then aligned DOWN to
     # lane/sublane multiples, so the largest possible window start is
-    # (w // LANE) * LANE (resp. (h // SUBLANE) * SUBLANE) and the
+    # (w // LANE) * LANE (resp. (h // sub) * sub) and the
     # planes need exactly that plus the largest window extent — the
     # old "+ max window + LANE" margin over-padded the planes ~18%
     # (zero-init + write-back + crop all scale with plane area).
-    hp = (h // SUBLANE) * SUBLANE + max(p[0] for p in plans)
+    hp = (h // sub) * sub + max(p[0] for p in plans)
     wp = (w // LANE) * LANE + max(p[1] for p in plans)
     bsz = bg.shape[0]
     n_planes = 8 if cfg.compute_saturation_mask else 5
@@ -408,7 +419,7 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     chunks = []
     for c0 in range(0, bsz, MAX_KERNEL_BATCH):
         c1 = min(c0 + MAX_KERNEL_BATCH, bsz)
-        fields = jnp.zeros((c1 - c0, n_planes, hp, wp), jnp.float32)
+        fields = jnp.zeros((c1 - c0, n_planes, hp, wp), dtype)
         for plan, bspec, bk in zip(plans, bspecs, buckets):
             n_valid = jnp.sum(bk["valid"][c0:c1].astype(jnp.int32),
                               axis=1)
@@ -436,7 +447,9 @@ def crop_field_planes(planes: jnp.ndarray, cfg: PipelineConfig):
     from raintpu.ops.composite import FieldMaps
 
     h, w = cfg.image_hw
-    cropped = planes[..., :h, :w]               # (B, P, H, W)
+    # Cast up front: downstream composite math is f32 (the cast fuses
+    # into the crop read when the planes are bf16).
+    cropped = planes[..., :h, :w].astype(jnp.float32)   # (B, P, H, W)
     additive = jnp.moveaxis(cropped[:, 2:5], 1, -1)
     sat = None
     if planes.shape[1] == 8:

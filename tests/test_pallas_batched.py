@@ -84,6 +84,57 @@ def test_render_frames_fused_matches_xla():
     assert out_x.saturation_mask is None
 
 
+def test_fused_bf16_fields_match_f32():
+    """fields_dtype='bfloat16' halves the kernel's window RMW bytes;
+    the only numerical cost is one bf16 rounding (2^-8 relative) per
+    overlapping drop on the accumulated planes. The bf16 render must
+    agree with the f32 render to well under the golden-parity
+    tolerances (measured on this scene: mask max diff ~7e-4, image max
+    diff ~1e-3)."""
+    W, H, cap, B = 96, 48, 32, 2
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    sim = SimConfig(image_wh=(W, H), focal_px=(300.0, 300.0),
+                    exposure_s=2e-3, capacity=cap, z_max=5.0)
+    drops = simulate_frames(jax.random.PRNGKey(4), sim,
+                            jnp.full(B, 150.0), jnp.full(B, 5.0),
+                            jnp.full(B, 2e-3), jnp.ones(B))
+    rng = np.random.RandomState(1)
+    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(B, H, W) * 40 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    # One strip-qualifying rung + one full-width rung so both
+    # accumulate paths run under bf16.
+    raster = RasterConfig(buckets=(BucketSpec(32, 24, 4, cap),
+                                   BucketSpec(64, 48, 8, 8)))
+    settings = RenderSettings(camera=CameraSettings(wh=(W, H),
+                                                    ccd_wh=(W, H)))
+    base = PipelineConfig(settings=settings, image_hw=(H, W),
+                          fallrate=150.0, raster=raster, env_downsample=8)
+    cfg16 = dataclasses.replace(base, fields_dtype="bfloat16")
+
+    from raintpu.render.frame import _render_frames_fused
+    out32 = jax.jit(
+        lambda *a: _render_frames_fused(*a, base, interpret=True))(
+        bg, depth, drops, bank, jnp.asarray(db.bin_edges), keys)
+    out16 = jax.jit(
+        lambda *a: _render_frames_fused(*a, cfg16, interpret=True))(
+        bg, depth, drops, bank, jnp.asarray(db.bin_edges), keys)
+
+    m32 = np.asarray(out32.rain_mask)
+    m16 = np.asarray(out16.rain_mask)
+    assert m32.sum() > 1.0, "scene must render actual rain"
+    # Outputs are f32 regardless of the accumulation dtype.
+    assert m16.dtype == np.float32
+    assert np.asarray(out16.rainy_image).dtype == np.float32
+    np.testing.assert_allclose(m16, m32, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out16.rainy_image),
+                               np.asarray(out32.rainy_image), atol=5e-3)
+    b32, b16 = m32 > 0.03, m16 > 0.03
+    iou = (b32 & b16).sum() / max((b32 | b16).sum(), 1)
+    assert iou > 0.995, f"bf16 mask support diverged (IoU {iou:.4f})"
+
+
 def test_fused_batch_chunking_matches_xla(monkeypatch):
     """Batches above MAX_KERNEL_BATCH are split into multiple kernel
     calls over disjoint plane slices — the result must be identical to
