@@ -164,19 +164,34 @@ def _accum_rows(scr_bank, g, prm, n_planes):
         scr_bank[i] = (acc.astype(jnp.float32) + c).astype(acc.dtype)
 
 
-def _accum_rows_strip(scr_bank, g, prm, n_planes, s, pw2):
-    """Strip variant: g lives on a (tile_h, LANE) strip whose image
-    columns start s lanes into the window. Contributions are computed
-    on the strip (the log transcendental included — half the lanes of
-    the full-width path), stacked, zero-extended and lane-rotated into
-    window position with ONE dynamic roll, then accumulated. Outside
+def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
+    """Strip variant: g lives on a (tile_h_eval, LANE) strip whose
+    image columns start s lanes and ds sublanes into the window
+    (tile_h_eval = tile_h - sublane; the drop is evaluated from its
+    TRUE anchor, not the tile-aligned one, so the alignment margin
+    rows are never evaluated — 25% of the hottest rung's VPU work).
+    Contributions are computed on the strip (the log transcendental
+    included), stacked, zero-extended, row-rotated by ds and
+    lane-rotated by s into window position, then accumulated. Outside
     the strip every contribution is exactly 0 (log(1 - 0*lo) = 0).
-    For bf16 planes the cast happens BEFORE the pad + roll (halves the
-    relayout bytes too)."""
-    tile_h = g.shape[0]
+
+    The row roll is safe against cross-plane bleed by construction:
+    each plane's block is bottom-padded with (tile_h - tile_h_eval)
+    zero rows and ds < that pad, so the rows rotating across a plane
+    boundary are always the previous plane's zero padding.
+
+    For bf16 planes the cast happens BEFORE the pads + rolls (halves
+    the relayout bytes too)."""
+    the = g.shape[0]
     dtype = scr_bank.dtype
     contribs = jnp.stack(_plane_contribs(g, prm, n_planes))
-    flat = contribs.reshape(n_planes * tile_h, LANE).astype(dtype)
+    contribs = contribs.astype(dtype)
+    if the < tile_h:
+        contribs = jnp.pad(contribs,
+                           ((0, 0), (0, tile_h - the), (0, 0)))
+    flat = contribs.reshape(n_planes * tile_h, LANE)
+    if the < tile_h:
+        flat = pltpu.roll(flat, ds, 0)
     flat = jnp.pad(flat, ((0, 0), (0, pw2 - LANE)))
     placed = pltpu.roll(flat, s, 1).reshape(n_planes, tile_h, pw2)
     for i in range(n_planes):
@@ -184,7 +199,8 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, pw2):
 
 
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
-                 th: int, tw: int, n_tiles: int, n_planes: int):
+                 th: int, tw: int, n_tiles: int, n_planes: int,
+                 sub: int = SUBLANE):
     """Multi-tile kernel for the big-window buckets, pipelined across
     its row tiles: a drop's tiles are DISJOINT row bands, so tile t+1's
     read can fly during tile t's compute with no hazard (two scratch
@@ -207,8 +223,10 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 
         @pl.when(c < n_ref[b])
         def _():
+            # ay arrives RAW (the pipelined kernel needs the true row
+            # start for its row strip); align here.
             ax = pl.multiple_of(ax_ref[fi], 128)
-            ay0 = pl.multiple_of(ay_ref[fi], 8)
+            ay0 = pl.multiple_of((ay_ref[fi] // sub) * sub, sub)
 
             def win(t):
                 return out_f.at[b, :, pl.ds(ay0 + t * tile_h, tile_h),
@@ -255,7 +273,8 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 
 def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                            th: int, tw: int, n_planes: int,
-                           strip_pad: int = 0):
+                           strip_pad: int = 0, sub: int = SUBLANE,
+                           row_strip: bool = True):
     """Depth-3 pipelined kernel (single-tile windows only).
 
     The serial kernel pays the full HBM round-trip latency per drop
@@ -302,9 +321,11 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
             return prm_ref[0, 0, 0, k]
 
         def anchors(off):
+            # ay arrives RAW (true content row start); windows anchor
+            # at the sublane-aligned position.
             idx = jnp.clip(fi + off, b * cap, b * cap + cap - 1)
             return (pl.multiple_of(ax_ref[idx], 128),
-                    pl.multiple_of(ay_ref[idx], 8))
+                    pl.multiple_of((ay_ref[idx] // sub) * sub, sub))
 
         def win_at(a):
             return out_f.at[b, :, pl.ds(a[1], tile_h),
@@ -386,18 +407,25 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                 # Strip mode (round 3): this bucket's content + erf
                 # tails are guaranteed to fit in one LANE-wide strip
                 # (pw + 2*strip_pad <= LANE, checked by the caller), so
-                # the patch is evaluated on (tile_h, LANE) — half the
-                # VPU work of the full window — and lane-rotated into
-                # window position at accumulate time. DMAs and hazard
-                # logic are unchanged (windows stay pw2 wide).
+                # the patch is evaluated on (tile_h_eval, LANE) — half
+                # the VPU lanes of the full window — and rotated into
+                # window position at accumulate time. With row_strip
+                # the evaluation also starts at the drop's TRUE row
+                # (ds sublanes into the window), skipping the
+                # tile-alignment margin rows entirely: tile_h_eval =
+                # tile_h - sub, another 8-25% of the eval grid. DMAs
+                # and hazard logic are unchanged (windows stay
+                # (tile_h, pw2)).
+                the = tile_h - sub if row_strip else tile_h
                 s = jnp.clip(
                     jnp.floor(prm(P_MINCX)).astype(jnp.int32)
                     - strip_pad - a_c[0], 0, pw2 - LANE)
+                ds = ay_ref[fi] - a_c[1] if row_strip else 0
                 g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0] + s,
-                                a_c[1], r_ranks, modes_y, modes_x,
-                                th, tw, tile_h, LANE)
+                                a_c[1] + ds, r_ranks, modes_y, modes_x,
+                                th, tw, the, LANE)
             else:
-                s = None
+                s = ds = None
                 g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0], a_c[1],
                                 r_ranks, modes_y, modes_x, th, tw,
                                 tile_h, pw2)
@@ -415,7 +443,7 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
                     if strip_pad:
                         _accum_rows_strip(scr3.at[cur], g, prm,
-                                          n_planes, s, pw2)
+                                          n_planes, s, ds, pw2, tile_h)
                     else:
                         _accum_rows(scr3.at[cur], g, prm, n_planes)
 
@@ -446,7 +474,8 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_hw", "tex_hw", "strip_pad", "interpret"))
+    static_argnames=("window_hw", "tex_hw", "strip_pad", "row_strip",
+                     "interpret"))
 def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
                            anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
@@ -456,6 +485,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
                            window_hw,              # static (PH2, PW2)
                            tex_hw,                 # static (TH, TW)
                            strip_pad: int = 0,     # static, 0 = off
+                           row_strip: bool = True,  # static
                            interpret: bool = False):
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
@@ -476,11 +506,13 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
 
     # bf16 planes double the sublane tile: window row starts/sizes must
     # be 16-aligned (the caller's plan_window(sublane=16) guarantees
-    # tile_h; the anchor alignment happens here).
+    # tile_h). ax is aligned here; ay is passed RAW — the kernels align
+    # it themselves, and the pipelined kernel's row strip needs the
+    # true content row start.
     sub = 16 if dtype == jnp.bfloat16 else SUBLANE
     assert tile_h % sub == 0, (tile_h, sub)
     ax = (anchor[..., 0] // LANE) * LANE
-    ay = (anchor[..., 1] // sub) * sub
+    ay = anchor[..., 1]
 
     # Lane-pad the mode axes so VMEM blocks are tileable.
     myp = -(-modes_y // LANE) * LANE
@@ -499,7 +531,8 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
             strip_pad = 0   # window is already one lane-tile wide
         kernel = _make_kernel_pipelined(r_ranks, modes_y, modes_x,
                                         tex_hw[0], tex_hw[1], n_planes,
-                                        strip_pad=strip_pad)
+                                        strip_pad=strip_pad, sub=sub,
+                                        row_strip=row_strip)
         scratch_shapes = [
             pltpu.VMEM((3, n_planes, tile_h, pw2), dtype),
             pltpu.SemaphoreType.DMA((3,)),
@@ -507,7 +540,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
         ]
     else:
         kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
-                              tex_hw[1], n_tiles, n_planes)
+                              tex_hw[1], n_tiles, n_planes, sub=sub)
         scratch_shapes = [
             pltpu.VMEM((2, n_planes, tile_h, pw2), dtype),
             pltpu.SemaphoreType.DMA((2,)),

@@ -74,6 +74,12 @@ class PipelineConfig:
     # against the f32 render (mask IoU / image diff) before becoming
     # a bench default. The XLA path ignores this (always f32).
     fields_dtype: str = "float32"
+    # Strip-mode row trimming: evaluate each drop's patch from its TRUE
+    # content row (not the sublane-aligned window row), skipping the
+    # tile-alignment margin rows — 8-25% of the eval grid on the hot
+    # rungs. Off switch exists for A/B measurement and debugging only;
+    # the placement row-roll is validated bit-exact vs the XLA path.
+    row_strip: bool = True
 
     def resolved_composite_mode(self) -> str:
         mode = self.composite_mode
@@ -434,7 +440,8 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                 bk["params"][c0:c1], bk["anchor"][c0:c1],
                 bk["ayc"][c0:c1], bk["bxc"][c0:c1], n_valid,
                 fields, window_hw=plan, tex_hw=tuple(tex_hw),
-                strip_pad=strip, interpret=interpret)
+                strip_pad=strip, row_strip=cfg.row_strip,
+                interpret=interpret)
         chunks.append(fields)
     fields = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
                                                                 axis=0)
