@@ -1,0 +1,177 @@
+"""Per-stage step anatomy for the headline render (honest device timing).
+
+Times four nested jitted programs over the SAME workload and reports the
+stage deltas:
+
+    bg        frame_background only (fog + photometry envmap)
+    prep      bg + drop_fused_params (photometry, geometry, DCT coefs,
+              bucket routing) — everything up to the kernel
+    fields    prep + the fused Pallas kernels (field planes done)
+    full      fields + finalize (blend, contrast adjust, crop)
+
+Every program fully reduces every output it claims to time (XLA DCE
+silently slices away unread results — see BASELINE.md round-3 note),
+loops ITERS times on device and fetches ONE scalar (plain
+block_until_ready returns early under the axon remote platform).
+
+Usage:  python -m raintpu.tools.stage_profile [--batch 48] [--json]
+
+The kernel-side occupancy anatomy (per-valid-drop / per-gated-step cost
+by rung) is the other half of the picture: time `fields` at varying
+bucket capacities if that's the question; this tool answers "which
+pipeline stage owns the step".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _tree_sum(x):
+    import jax
+    import jax.numpy as jnp
+    leaves = [l for l in jax.tree_util.tree_leaves(x)
+              if hasattr(l, "dtype")]
+    acc = 0.0
+    for l in leaves:
+        if jnp.issubdtype(l.dtype, jnp.floating):
+            acc = acc + jnp.sum(l.astype(jnp.float32))
+        else:
+            acc = acc + jnp.sum(l).astype(jnp.float32)
+    return acc
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=48)
+    ap.add_argument("--fallrate", type=float, default=10.0)
+    ap.add_argument("--capacity", type=int, default=320)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+    from raintpu.data.textures import (procedural_streak_database,
+                                       texture_bank)
+    from raintpu.ops.rasterize import BucketSpec, RasterConfig
+    from raintpu.particles.schema import compact_drop_batch
+    from raintpu.physics.simulator import SimConfig, simulate_frames
+    from raintpu.render.camera import CameraSettings, RenderSettings
+    from raintpu.render import frame as frame_mod
+    from raintpu.render.frame import (PipelineConfig, drop_fused_params,
+                                      frame_background,
+                                      fused_field_planes, render_frames)
+
+    H, W = 375, 1242
+    B = args.batch
+    settings = RenderSettings(camera=CameraSettings())
+    # Same fitted ladder as bench.py (headline config).
+    raster = RasterConfig(buckets=(
+        BucketSpec(24, 32, 5, 224, 12, 6, 3),
+        BucketSpec(48, 32, 8, 64, 12, 6, 3),
+        BucketSpec(96, 64, 12, 32, 24, 10, 4),
+        BucketSpec(112, 96, 20, 16, 16, 8, 4),
+    ))
+    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
+                         fallrate=args.fallrate, raster=raster,
+                         fields_dtype=os.environ.get("FIELDS_DTYPE",
+                                                     "float32"),
+                         row_strip=os.environ.get("ROW_STRIP",
+                                                  "1") == "1")
+
+    sim_cfg = SimConfig.from_settings(settings, capacity=512)
+    drops = simulate_frames(
+        jax.random.PRNGKey(0), sim_cfg,
+        jnp.full(B, args.fallrate), jnp.full(B, 8.0),
+        jnp.full(B, settings.camera.exposure_s), jnp.ones(B))
+    drops = jax.jit(jax.vmap(
+        lambda d: compact_drop_batch(d, args.capacity)))(drops)
+    jax.block_until_ready(drops.ip1)
+
+    rng = np.random.RandomState(0)
+    bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    db = procedural_streak_database()
+    tex = texture_bank(db)
+    edges = jnp.asarray(db.bin_edges)
+
+    def stage_bg(keys, bg, depth, drops, tex, edges):
+        out = jax.vmap(lambda b, d: frame_background(b, d, cfg))(bg,
+                                                                 depth)
+        return _tree_sum(out)
+
+    def stage_prep(keys, bg, depth, drops, tex, edges):
+        def one(b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(b, d, cfg)
+            buckets, overflow = drop_fused_params(
+                env_photo, dr, tex, edges, k, cfg)
+            return _tree_sum((fogged, env_save, buckets, overflow))
+        return jnp.sum(jax.vmap(one)(bg, depth, drops, keys))
+
+    interpret = jax.default_backend() != "tpu"
+
+    def stage_fields(keys, bg, depth, drops, tex, edges):
+        out = fused_field_planes(bg, depth, drops, tex, edges, keys,
+                                 cfg, interpret=interpret)
+        return _tree_sum(out)
+
+    def stage_full(keys, bg, depth, drops, tex, edges):
+        out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
+        return _tree_sum(out)
+
+    stages = [("bg", stage_bg), ("prep", stage_prep),
+              ("fields", stage_fields), ("full", stage_full)]
+
+    data = (keys, bg, depth, drops, tex, edges)
+    results = {}
+    for name, fn in stages:
+        def many(keys, bg, depth, drops, tex, edges, fn=fn):
+            def body(i, acc):
+                k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
+                return acc + fn(k, bg, depth, drops, tex, edges)
+            return jax.lax.fori_loop(0, args.iters, body, 0.0)
+
+        mj = jax.jit(many)
+        v = float(mj(*data))   # compile + warmup
+        assert np.isfinite(v), (name, v)
+        dts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(mj(*data))
+            dts.append(time.perf_counter() - t0)
+        ms = float(np.median(dts)) / args.iters * 1000.0
+        results[name] = ms
+        if not args.json:
+            print(f"{name:8s} {ms:8.2f} ms/step "
+                  f"({B / (ms / 1000.0):7.1f} img/s)")
+
+    deltas = {
+        "bg": results["bg"],
+        "prep-bg": results["prep"] - results["bg"],
+        "kernel (fields-prep)": results["fields"] - results["prep"],
+        "finalize (full-fields)": results["full"] - results["fields"],
+    }
+    if args.json:
+        print(json.dumps({"batch": B, "ms_per_step": results,
+                          "deltas_ms": deltas,
+                          "backend": jax.default_backend()}))
+    else:
+        print("--- deltas (ms/step) ---")
+        for k, v in deltas.items():
+            print(f"{k:24s} {v:8.2f}  ({100 * v / results['full']:.0f}%"
+                  " of full)")
+
+
+if __name__ == "__main__":
+    main()
