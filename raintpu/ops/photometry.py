@@ -108,16 +108,28 @@ _FOV_CHUNK = 256
 
 def _cone_sums(p: jnp.ndarray, n: jnp.ndarray, env: EnvFeatures,
                cos_t, R) -> jnp.ndarray:
-    """Per-drop masked feature sums [x*sa, y*sa, Y*sa, sa] (N, 4)."""
-    # s[q, i]   = dot(R*d_q - p_i, n_i) = R * (D @ n^T) - sum(p*n)
-    # w2[q, i]  = |R*d_q - p_i|^2 = R^2 - 2R*(D @ p^T) + |p_i|^2
-    Dn = env.dirs @ n.T                           # (Q, N) matmul
-    Dp = env.dirs @ p.T                           # (Q, N) matmul
+    """Per-drop masked feature sums [x*sa, y*sa, Y*sa, sa] (N, 4).
+
+    Deliberately NOT expressed with dots: a K=3 Gram "matmul" gains
+    nothing on the MXU, and dot operands/outputs force XLA to
+    materialize the (Q, N) planes in HBM — ~230 MB of round-trips per
+    frame at the headline config, the dominant cost of the whole prep
+    stage. As broadcasted elementwise products feeding one reduction,
+    the entire cone test fuses into a single XLA reduce fusion whose
+    only HBM traffic is the (Q, 3)/(Q, 4) inputs and the (N, 4) output
+    (~1 MB): the (Q, N) mask never exists in memory.
+    """
+    # s[q, i]   = dot(R*d_q - p_i, n_i) = R * (D . n_i) - p_i . n_i
+    # w2[q, i]  = |R*d_q - p_i|^2 = R^2 - 2R*(D . p_i) + |p_i|^2
+    d0, d1, d2 = (env.dirs[:, k][:, None] for k in range(3))   # (Q, 1)
+    Dn = d0 * n[None, :, 0] + d1 * n[None, :, 1] + d2 * n[None, :, 2]
+    Dp = d0 * p[None, :, 0] + d1 * p[None, :, 1] + d2 * p[None, :, 2]
     s = R * Dn - jnp.sum(p * n, axis=-1)[None, :]
     w2 = R * R - 2.0 * R * Dp + jnp.sum(p * p, axis=-1)[None, :]
     inside = (s >= 0) & (s * s >= (cos_t * cos_t) * w2)
-    # (N, Q) @ (Q, 4) -> per-drop [sum x*sa, sum y*sa, sum Y*sa, sum sa]
-    return inside.astype(env.feats.dtype).T @ env.feats
+    # (Q, N, 1) * (Q, 1, 4) summed over Q — a reduce fusion, not a dot.
+    contribs = jnp.where(inside[:, :, None], env.feats[:, None, :], 0.0)
+    return jnp.sum(contribs, axis=0)
 
 
 def drop_fov_stats(world_pos: jnp.ndarray,
