@@ -39,7 +39,15 @@ def cv2_gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
 # convs (the band matrix grows as n^2).
 _MATMUL_BLUR_MAX_DIM = 2048
 
+# At or above this edge length the blur uses overlapping block slabs
+# with a (K, block) band matrix instead of a dense (n, n) one: a dense
+# column-blur at KITTI width does 1242 MACs/px for 25 real taps, while
+# a 128-deep slab does 128 (the MXU's minimum contraction depth) —
+# ~8x less MXU work, bit-equivalent math.
+_BLOCKED_BLUR_MIN_DIM = 256
+
 _blur_matrix_cache = {}
+_block_matrix_cache = {}
 
 
 def _blur_matrix(n: int, kernel_key, kernel: np.ndarray) -> np.ndarray:
@@ -61,12 +69,61 @@ def _blur_matrix(n: int, kernel_key, kernel: np.ndarray) -> np.ndarray:
     return K
 
 
+def _block_band_matrix(kernel_key, kernel: np.ndarray,
+                       block: int) -> np.ndarray:
+    """(block + 2r, block) band matrix: column o holds the kernel taps
+    for output o of a slab that starts r inputs before output 0."""
+    key = (block, kernel_key)
+    if key in _block_matrix_cache:
+        return _block_matrix_cache[key]
+    ksize = kernel.shape[0]
+    B = np.zeros((block + ksize - 1, block), np.float32)
+    for t, wgt in enumerate(kernel):
+        B[np.arange(block) + t, np.arange(block)] = wgt
+    _block_matrix_cache[key] = B
+    return B
+
+
+def _blocked_axis_blur(img: jnp.ndarray, kernel_key,
+                       kernel: np.ndarray) -> jnp.ndarray:
+    """Blur the LEADING axis of (n, ...) with overlapping block slabs
+    (REFLECT_101 borders). MXU cost is ~max(2r+1, 128) MACs per output
+    element instead of the dense path's n."""
+    n = img.shape[0]
+    ksize = kernel.shape[0]
+    r = (ksize - 1) // 2
+    # Pick block so the slab depth (block + 2r) is the next multiple of
+    # the MXU contraction tile — depth beyond 2r+1 is free until then.
+    depth = -(-(2 * r + 1) // 128) * 128
+    block = depth - 2 * r
+    nb = -(-n // block)
+
+    # REFLECT_101 on the real borders, zero-pad to whole blocks (the
+    # padded tail is cropped from the output).
+    top = img[1:r + 1][::-1]
+    bot = img[n - r - 1:n - 1][::-1]
+    pad_tail = nb * block - n
+    tail_zeros = jnp.zeros((pad_tail,) + img.shape[1:], img.dtype)
+    x = jnp.concatenate([top, img, bot, tail_zeros], axis=0)
+
+    slabs = jnp.stack([jax.lax.slice_in_dim(x, i * block,
+                                            i * block + depth, axis=0)
+                       for i in range(nb)])          # (nb, depth, ...)
+    B = jnp.asarray(_block_band_matrix(kernel_key, kernel, block),
+                    img.dtype)                       # (depth, block)
+    out = jnp.einsum("bk...,ko->bo...", slabs, B,
+                     preferred_element_type=jnp.float32)
+    return out.reshape((nb * block,) + img.shape[1:])[:n]
+
+
 def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """Separable blur of (H, W) or (H, W, C) with one static 1-D kernel.
 
-    Borders are REFLECT_101 (cv2 default). Implemented as two banded
+    Borders are REFLECT_101 (cv2 default). Implemented as banded
     matmuls (exact; MXU) — small-channel depthwise convs run on the VPU
-    at a fraction of peak and dominated the fog pass.
+    at a fraction of peak and dominated the fog pass. Long axes use
+    overlapping block slabs (see _blocked_axis_blur); short axes a
+    dense (n, n) band matrix.
     """
     squeeze = img.ndim == 2
     if squeeze:
@@ -76,12 +133,21 @@ def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
 
     if max(h, w) <= _MATMUL_BLUR_MAX_DIM:
-        kh = jnp.asarray(_blur_matrix(h, kernel_key, kernel), img.dtype)
-        kw = jnp.asarray(_blur_matrix(w, kernel_key, kernel), img.dtype)
-        out = jnp.einsum("ij,jwc->iwc", kh, img,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("hjc,wj->hwc", out, kw,
-                         preferred_element_type=jnp.float32)
+        if h >= _BLOCKED_BLUR_MIN_DIM:
+            out = _blocked_axis_blur(img, kernel_key, kernel)
+        else:
+            kh = jnp.asarray(_blur_matrix(h, kernel_key, kernel),
+                             img.dtype)
+            out = jnp.einsum("ij,jwc->iwc", kh, img,
+                             preferred_element_type=jnp.float32)
+        if w >= _BLOCKED_BLUR_MIN_DIM:
+            out = _blocked_axis_blur(out.transpose(1, 0, 2), kernel_key,
+                                     kernel).transpose(1, 0, 2)
+        else:
+            kw = jnp.asarray(_blur_matrix(w, kernel_key, kernel),
+                             img.dtype)
+            out = jnp.einsum("hjc,wj->hwc", out, kw,
+                             preferred_element_type=jnp.float32)
         return out[..., 0] if squeeze else out
 
     # Fallback: depthwise convs (large frames).

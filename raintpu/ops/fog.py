@@ -64,8 +64,12 @@ def fog_rain_layer(image: jnp.ndarray,
     l_in = jnp.clip(l_in, 0.0, 1.0)
 
     kernel = cv2_gaussian_kernel(FOG_BLUR_KSIZE, FOG_BLUR_SIGMA)
-    f_ext3 = jnp.broadcast_to(f_ext, image.shape)
-    f_ext_b = separable_blur(f_ext3, kernel)
-    l_in_b = separable_blur(l_in, kernel)
+    # One 4-channel blur: [f_ext, l_in_rgb]. The reference blurs a
+    # 3-channel broadcast of f_ext (add_attenuation.py:79) — blurring
+    # the same channel three times; one channel is bit-equivalent.
+    stacked = jnp.concatenate([f_ext, l_in], axis=-1)
+    blurred = separable_blur(stacked, kernel)
+    f_ext_b = blurred[..., :1]
+    l_in_b = blurred[..., 1:]
 
     return jnp.clip(image * f_ext_b + l_in_b, 0.0, 1.0)

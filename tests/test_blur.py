@@ -51,3 +51,16 @@ def test_variable_blur_zero_sigma_is_identity(rng):
     z = jnp.zeros((2,))
     got = np.asarray(variable_separable_blur(jnp.asarray(patches), z, z, 8))
     np.testing.assert_allclose(got, patches, atol=1e-6)
+
+
+def test_separable_blur_blocked_path_matches_cv2(rng):
+    # Axes >= 256 take the overlapping-block-slab matmul path
+    # (blur._BLOCKED_BLUR_MIN_DIM); pin it to the cv2 oracle, including
+    # non-multiple-of-block sizes (tail block padding + crop) and the
+    # REFLECT_101 borders.
+    for h, w in [(300, 517), (256, 256), (90, 1242)]:
+        img = rng.rand(h, w, 3).astype(np.float32)
+        k = cv2_gaussian_kernel(25, 25.0)
+        got = np.asarray(separable_blur(jnp.asarray(img), k))
+        want = cv2.GaussianBlur(img, (25, 25), 25.0)
+        np.testing.assert_allclose(got, want, atol=2e-5)
