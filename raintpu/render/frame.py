@@ -80,6 +80,14 @@ class PipelineConfig:
     # rungs. Off switch exists for A/B measurement and debugging only;
     # the placement row-roll is validated bit-exact vs the XLA path.
     row_strip: bool = True
+    # Extra block-reduction of the envmap features used ONLY for the
+    # per-drop cone photometry (on top of env_downsample): solid-angle
+    # weights are summed per block (integrals preserved); the inside
+    # test runs at block centers. 1 = exact. The reference's own cone
+    # is a 20-gon polygon rasterized at integer pixels
+    # (bad_weather.py:596-704), so a small boundary band is already in
+    # its error model; validate any >1 setting against the parity bars.
+    cone_downsample: int = 1
 
     def resolved_composite_mode(self) -> str:
         mode = self.composite_mode
@@ -200,7 +208,8 @@ def drop_patches(env_rgb, drops: DropBatch, textures,
     if physics:
         # env_rgb arrives already at photometry resolution
         # (frame_background pools by cfg.env_downsample).
-        env = photometry_ops.env_features(env_rgb, downsample=1)
+        env = photometry_ops.env_features(
+            env_rgb, downsample=cfg.cone_downsample)
         mid = (drops.wp1 + drops.wp2) / 2.0
         gains = photometry_ops.drop_colors(
             mid, env, sphere_radius=st.sphere_radius,
@@ -312,7 +321,8 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
     tex_hw = textures.raw.shape[1:]
 
     if physics:
-        env = photometry_ops.env_features(env_rgb, downsample=1)
+        env = photometry_ops.env_features(
+            env_rgb, downsample=cfg.cone_downsample)
         mid = (drops.wp1 + drops.wp2) / 2.0
         gains = photometry_ops.drop_colors(
             mid, env, sphere_radius=st.sphere_radius,
