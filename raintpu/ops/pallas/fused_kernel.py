@@ -72,15 +72,21 @@ def _erf(x):
     return jnp.tanh(1.1283791671 * x + 0.1009055155 * x3)
 
 
-def _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks, modes_y,
+def _patch_eval(prm, cy, cx, ax, ay, r_ranks, modes_y,
                 modes_x, th, tw, tile_h, pw2):
-    """Evaluate the drop's gray patch over the window grid (pure VPU)."""
+    """Evaluate the drop's gray patch over the window grid (pure VPU).
+
+    ``prm(k)`` / ``cy(r, m)`` / ``cx(r, m)`` return the drop's params
+    and DCT coefficients — scalars for a single drop, or (1, pw2)
+    lane vectors in pair mode (two drops side by side in the lane
+    halves; every expression below broadcasts either way). ``ax``/
+    ``ay`` follow the same convention."""
     ii = jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, pw2), 0).astype(jnp.float32)
     jj = jax.lax.broadcasted_iota(
         jnp.int32, (tile_h, pw2), 1).astype(jnp.float32)
-    lx = jj + (ax.astype(jnp.float32) - prm(P_MINCX))
-    ly = ii + (ay.astype(jnp.float32) - prm(P_MINCY))
+    lx = jj + (jnp.asarray(ax).astype(jnp.float32) - prm(P_MINCX))
+    ly = ii + (jnp.asarray(ay).astype(jnp.float32) - prm(P_MINCY))
 
     hx = prm(P_M00) * lx + prm(P_M01) * ly + prm(P_M02)
     hy = prm(P_M10) * lx + prm(P_M11) * ly + prm(P_M12)
@@ -101,18 +107,19 @@ def _patch_eval(prm, ayc_ref, bxc_ref, ax, ay, r_ranks, modes_y,
     ty = jnp.cos(jnp.pi * yhat)
     tx = jnp.cos(jnp.pi * xhat)
     g = jnp.zeros((tile_h, pw2), jnp.float32)
+    zero = jnp.zeros((tile_h, pw2), jnp.float32)
     for r in range(r_ranks):
-        uy = jnp.full((tile_h, pw2), ayc_ref[0, 0, r, 0])
+        uy = zero + cy(r, 0)
         cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
         cm = ty
         for m in range(1, modes_y):
-            uy = uy + ayc_ref[0, 0, r, m] * cm
+            uy = uy + cy(r, m) * cm
             cm, cm_prev = 2.0 * ty * cm - cm_prev, cm
-        vx = jnp.full((tile_h, pw2), bxc_ref[0, 0, r, 0])
+        vx = zero + cx(r, 0)
         cm_prev = jnp.ones((tile_h, pw2), jnp.float32)
         cm = tx
         for m in range(1, modes_x):
-            vx = vx + bxc_ref[0, 0, r, m] * cm
+            vx = vx + cx(r, m) * cm
             cm, cm_prev = 2.0 * tx * cm - cm_prev, cm
         g = g + uy * vx
 
@@ -248,7 +255,8 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
                         win(t + 1), scr2.at[oth], sems_r.at[oth]
                         ).start()
 
-                g = _patch_eval(prm, ayc_ref, bxc_ref, ax,
+                g = _patch_eval(prm, lambda r, m: ayc_ref[0, 0, r, m],
+                                lambda r, m: bxc_ref[0, 0, r, m], ax,
                                 ay0 + t * tile_h, r_ranks,
                                 modes_y, modes_x, th, tw, tile_h, pw2)
 
@@ -274,7 +282,7 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                            th: int, tw: int, n_planes: int,
                            strip_pad: int = 0, sub: int = SUBLANE,
-                           row_strip: bool = True):
+                           row_strip: bool = True, pair: bool = False):
     """Depth-3 pipelined kernel (single-tile windows only).
 
     The serial kernel pays the full HBM round-trip latency per drop
@@ -306,9 +314,25 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
     Banks are indexed statically by unrolling the grid step mod 3
     (dynamic semaphore indices are not relied on).
+
+    PAIR MODE (round 3, ``pair=True``; requires strip mode with
+    pw + 2*strip_pad <= LANE/2): two consecutive drops are evaluated
+    in ONE patch eval, side by side in the two 64-lane halves of the
+    (tile_h_eval, LANE) strip — per-drop parameters become (1, LANE)
+    lane-selected vectors, so the series recurrence (the kernel's VPU
+    roofline) runs once per PAIR. Even steps evaluate the pair into a
+    stash scratch; each step then masks out its own half, rolls it
+    into window position and accumulates. The per-drop window DMAs,
+    RAW-hazard predicates and wait schedule are completely unchanged —
+    drops stay serial with respect to memory.
     """
     def kernel(n_ref, ax_ref, ay_ref, prm_ref, ayc_ref, bxc_ref,
-               in_f, out_f, scr3, sems_r, sems_w):
+               *rest):
+        if pair:
+            (prm2_ref, ayc2_ref, bxc2_ref, in_f, out_f,
+             scr3, stash, sems_r, sems_w) = rest
+        else:
+            in_f, out_f, scr3, sems_r, sems_w = rest
         # scr3: (3, n_planes, TH, PW2); sems_r/sems_w: DMA (3,).
         b = pl.program_id(0)
         c = pl.program_id(1)
@@ -421,12 +445,69 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                     jnp.floor(prm(P_MINCX)).astype(jnp.int32)
                     - strip_pad - a_c[0], 0, pw2 - LANE)
                 ds = ay_ref[fi] - a_c[1] if row_strip else 0
-                g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0] + s,
-                                a_c[1] + ds, r_ranks, modes_y, modes_x,
-                                th, tw, the, LANE)
+                if pair:
+                    # Pair mode: even steps evaluate drops (c, c+1)
+                    # side by side in the lane halves; odd steps reuse
+                    # the stash. The eval's per-drop params/coefs are
+                    # (1, LANE) lane selects between the two drops'
+                    # scalars (cheap: one vreg op per constant), and
+                    # each half's x/y origins are its OWN strip/row
+                    # offsets, so the stash halves are exactly what
+                    # the two per-drop evals would have produced.
+                    half = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, LANE), 1) < (LANE // 2)
+
+                    @pl.when((c % 2) == 0)   # body is valid-gated already
+                    def _():
+                        def prmv(k):
+                            return jnp.where(half, prm_ref[0, 0, 0, k],
+                                             prm2_ref[0, 0, 0, k])
+
+                        def cyv(r, m):
+                            return jnp.where(half, ayc_ref[0, 0, r, m],
+                                             ayc2_ref[0, 0, r, m])
+
+                        def cxv(r, m):
+                            return jnp.where(half, bxc_ref[0, 0, r, m],
+                                             bxc2_ref[0, 0, r, m])
+
+                        a_n = anchors(1)
+                        s2 = jnp.clip(
+                            jnp.floor(prm2_ref[0, 0, 0, P_MINCX]
+                                      ).astype(jnp.int32)
+                            - strip_pad - a_n[0], 0, pw2 - LANE)
+                        idx2 = jnp.clip(fi + 1, b * cap,
+                                        b * cap + cap - 1)
+                        ds2 = (ay_ref[idx2] - a_n[1] if row_strip
+                               else 0)
+                        ox = jnp.where(half, a_c[0] + s,
+                                       a_n[0] + s2 - LANE // 2)
+                        oy = jnp.where(half, a_c[1] + ds,
+                                       a_n[1] + ds2)
+                        stash[...] = _patch_eval(
+                            prmv, cyv, cxv, ox, oy, r_ranks, modes_y,
+                            modes_x, th, tw, the, LANE)
+
+                    keep = jnp.where((c % 2) == 0, half, ~half)
+                    g = jnp.where(keep, stash[...], 0.0)
+                    # Own half's lane roll: half 0's content starts at
+                    # eval lane 0 (roll s); half 1's at eval lane 64
+                    # (roll s - 64, cyclically).
+                    s = jnp.where((c % 2) == 0, s,
+                                  jax.lax.rem(s - LANE // 2 + pw2,
+                                              pw2))
+                else:
+                    g = _patch_eval(prm,
+                                    lambda r, m: ayc_ref[0, 0, r, m],
+                                    lambda r, m: bxc_ref[0, 0, r, m],
+                                    a_c[0] + s, a_c[1] + ds, r_ranks,
+                                    modes_y, modes_x, th, tw, the,
+                                    LANE)
             else:
                 s = ds = None
-                g = _patch_eval(prm, ayc_ref, bxc_ref, a_c[0], a_c[1],
+                g = _patch_eval(prm, lambda r, m: ayc_ref[0, 0, r, m],
+                                lambda r, m: bxc_ref[0, 0, r, m],
+                                a_c[0], a_c[1],
                                 r_ranks, modes_y, modes_x, th, tw,
                                 tile_h, pw2)
 
@@ -475,7 +556,7 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 @functools.partial(
     jax.jit,
     static_argnames=("window_hw", "tex_hw", "strip_pad", "row_strip",
-                     "interpret"))
+                     "pair", "interpret"))
 def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
                            anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
@@ -486,6 +567,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
                            tex_hw,                 # static (TH, TW)
                            strip_pad: int = 0,     # static, 0 = off
                            row_strip: bool = True,  # static
+                           pair: bool = False,      # static
                            interpret: bool = False):
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
@@ -529,16 +611,20 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
         # _make_kernel_pipelined) — DMA latency hides under compute.
         if strip_pad and pw2 <= LANE:
             strip_pad = 0   # window is already one lane-tile wide
+        pair = bool(pair) and strip_pad > 0
         kernel = _make_kernel_pipelined(r_ranks, modes_y, modes_x,
                                         tex_hw[0], tex_hw[1], n_planes,
                                         strip_pad=strip_pad, sub=sub,
-                                        row_strip=row_strip)
+                                        row_strip=row_strip, pair=pair)
+        the = tile_h - sub if row_strip else tile_h
         scratch_shapes = [
             pltpu.VMEM((3, n_planes, tile_h, pw2), dtype),
+        ] + ([pltpu.VMEM((the, LANE), jnp.float32)] if pair else []) + [
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((3,)),
         ]
     else:
+        pair = False
         kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
                               tex_hw[1], n_tiles, n_planes, sub=sub)
         scratch_shapes = [
@@ -547,31 +633,50 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
+    per_drop_specs = [
+        pl.BlockSpec((1, 1, 1, LANE), lambda b, i, *_: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r_ranks, myp),
+                     lambda b, i, *_: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r_ranks, mxp),
+                     lambda b, i, *_: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if pair:
+        # Pair mode also streams drop c+1's params/coefs (clamped at
+        # the frame's last slot): the same arrays, blocked one step
+        # ahead. ~4 KB/step of extra VMEM traffic vs the ~160 KB
+        # window DMA.
+        def _next(b, i, *_):
+            return (b, jnp.minimum(i + 1, c - 1), 0, 0)
+        per_drop_specs += [
+            pl.BlockSpec((1, 1, 1, LANE), _next,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_ranks, myp), _next,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_ranks, mxp), _next,
+                         memory_space=pltpu.VMEM),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bsz, c),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, LANE), lambda b, i, *_: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r_ranks, myp),
-                         lambda b, i, *_: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r_ranks, mxp),
-                         lambda b, i, *_: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=per_drop_specs + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch_shapes,
     )
+    operands = [prm, ayc_p, bxc_p]
+    if pair:
+        operands += [prm, ayc_p, bxc_p]
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n_planes, hp, wp),
                                        dtype),
-        input_output_aliases={6: 0},
+        input_output_aliases={(9 if pair else 6): 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1),
-      prm, ayc_p, bxc_p, fields)
+      *operands, fields)
     return out

@@ -800,11 +800,18 @@ def fit_raster_config(drops: DropBatch, tex_hw, image_wh, settings, *,
         r = max(r, 2)
         ph = int(-(-max(ph_raw, 8.0) // 8) * 8)
         # Width snapping (cost-free widening; see docstring). LANE=128
-        # and the strip bound mirror ops/pallas/fused_kernel +
-        # render/frame's strip eligibility: pad = 1.25 * radius + 2.
+        # and the bounds mirror ops/pallas/fused_kernel +
+        # render/frame's strip/pair eligibility: pad = 1.25*radius + 2.
+        # The PAIR bound (64 - 2*pad) comes first: a rung at or under
+        # it evaluates two drops per series eval (the kernel's VPU
+        # roofline), so widening past it is NOT free — only widening
+        # up to it, or between it and the strip bound, is.
         pad = int(1.25 * r) + 2
+        pair_bound = 64 - 2 * pad
         strip_bound = 128 - 2 * pad
-        if pw_raw <= strip_bound:
+        if pw_raw <= pair_bound:
+            pw = pair_bound
+        elif pw_raw <= strip_bound:
             pw = strip_bound
         else:
             pw = int(-(-pw_raw // 128) * 128)

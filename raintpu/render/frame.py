@@ -80,6 +80,12 @@ class PipelineConfig:
     # rungs. Off switch exists for A/B measurement and debugging only;
     # the placement row-roll is validated bit-exact vs the XLA path.
     row_strip: bool = True
+    # Pair mode: strip-mode buckets whose content + erf tails fit in
+    # HALF a lane tile (64 lanes) evaluate TWO consecutive drops per
+    # patch eval, side by side in the lane halves — the DCT series
+    # recurrence (the kernel's VPU roofline) runs once per pair. DMAs
+    # and hazards stay per-drop. Off switch for A/B and debugging.
+    pair_eval: bool = True
     # Extra block-reduction of the envmap features used ONLY for the
     # per-drop cone photometry (on top of env_downsample): solid-angle
     # weights are summed per block (integrals preserved); the inside
@@ -446,11 +452,16 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
             # the narrow buckets that dominate the population.
             pad = int(1.25 * bspec.radius) + 2
             strip = pad if bspec.pw + 2 * pad <= LANE else 0
+            # Pair mode: two drops per patch eval in the lane halves
+            # when content + tails fit in 64 lanes (the hot narrow
+            # rungs) — the series eval runs once per pair.
+            pair = (cfg.pair_eval and strip > 0
+                    and bspec.pw + 2 * pad <= LANE // 2)
             fields = fused_raster_composite(
                 bk["params"][c0:c1], bk["anchor"][c0:c1],
                 bk["ayc"][c0:c1], bk["bxc"][c0:c1], n_valid,
                 fields, window_hw=plan, tex_hw=tuple(tex_hw),
-                strip_pad=strip, row_strip=cfg.row_strip,
+                strip_pad=strip, row_strip=cfg.row_strip, pair=pair,
                 interpret=interpret)
         chunks.append(fields)
     fields = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,

@@ -86,10 +86,12 @@ def test_fitted_rungs_plan_single_tile_and_strip_snap():
     for bk in cfg.buckets:
         ph2, pw2, tile_h, n_tiles = plan_window(bk.ph, bk.pw)
         assert ph2 * pw2 <= MAX_SLAB_AREA or n_tiles == 1
-        # widths sit exactly on a cost-free edge: either the strip
-        # bound (pw + 2*pad == 128) or a lane-tile multiple
+        # widths sit exactly on a cost-free edge: the pair bound
+        # (pw + 2*pad == 64 — two drops per eval), the strip bound
+        # (pw + 2*pad == 128) or a lane-tile multiple
         pad = int(1.25 * bk.radius) + 2
-        assert bk.pw + 2 * pad == 128 or bk.pw % 128 == 0
+        assert (bk.pw + 2 * pad == 64 or bk.pw + 2 * pad == 128
+                or bk.pw % 128 == 0)
 
 
 def test_fitted_render_matches_default_ladder():

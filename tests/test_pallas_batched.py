@@ -294,6 +294,19 @@ def test_fused_kernel_overlap_chain():
     assert np.abs(out[:, 0]).sum() > 1.0, "chain scene rendered nothing"
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
+    # Same scene through strip + row-strip + PAIR mode (two drops per
+    # eval in the lane halves): the identical-window chains now stress
+    # the stash/roll placement on top of the RMW hazards. Content
+    # (wcx=8 at mincx) + tails fit well inside 64 - 2*pad lanes.
+    out_pair = np.asarray(fused_raster_composite(
+        jnp.asarray(params), jnp.asarray(anchor), jnp.asarray(ayc),
+        jnp.asarray(bxc), jnp.asarray(n_valid),
+        jnp.zeros((B, 5, hp, wp), jnp.float32),
+        window_hw=plan, tex_hw=(TH, TW), strip_pad=8, row_strip=True,
+        pair=True, interpret=True))
+    np.testing.assert_allclose(out_pair, ref, atol=2e-3)
+    np.testing.assert_allclose(out_pair, out, atol=1e-6)
+
 
 def test_fused_multitile_buckets_match_xla():
     """The big-window buckets run the row-tiled kernel (n_tiles > 1:
