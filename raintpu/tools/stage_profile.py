@@ -137,9 +137,20 @@ def main(argv=None):
     results = {}
     for name, fn in stages:
         def many(keys, bg, depth, drops, tex, edges, fn=fn):
+            # Every frame input is made loop-variant by adding i*1e-12
+            # (rounds away in f32 — value-identical), otherwise XLA's
+            # while-loop LICM hoists entire stages out of the timed
+            # loop (with static inputs the bg stage times as ~zero)
+            # and the numbers measure nothing.
             def body(i, acc):
                 k = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)
-                return acc + fn(k, bg, depth, drops, tex, edges)
+                eps = i.astype(jnp.float32) * 1e-12
+                drops_i = jax.tree_util.tree_map(
+                    lambda x: x + eps.astype(x.dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    drops)
+                return acc + fn(k, bg + eps, depth + eps, drops_i,
+                                tex, edges)
             return jax.lax.fori_loop(0, args.iters, body, 0.0)
 
         mj = jax.jit(many)
