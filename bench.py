@@ -62,8 +62,54 @@ def main():
         BucketSpec(96, 64, 12, 32, 24, 10, 4),
         BucketSpec(112, 96, 20, 16, 16, 8, 4),
     ))
+
+    # Kernel-mode value gate: the round-3 pair/row-strip eval modes are
+    # interpret-validated, but this bench may be the first time they
+    # compile through Mosaic on real hardware — verify values on a
+    # small scene (TPU vs interpret, the tpu_selfcheck comparison) and
+    # fall back to the proven plain-strip kernel if they diverge, so
+    # the headline can never time a wrong render.
+    import dataclasses
+
+    from raintpu.tools.tpu_selfcheck import build_scene
+
+    def kernel_modes_ok(pair: bool, row_strip: bool) -> bool:
+        scfg, (sbg, sdepth, sdrops, stex, sedges, skeys) = build_scene()
+        scfg = dataclasses.replace(scfg, pair_eval=pair,
+                                   row_strip=row_strip)
+        from functools import partial
+
+        from raintpu.render import frame as frame_mod
+
+        @partial(jax.jit, static_argnames=("interpret",))
+        def run(bg, depth, drops, tex, edges, keys, interpret):
+            return frame_mod._render_frames_fused(
+                bg, depth, drops, tex, edges, keys, scfg,
+                interpret=interpret)
+
+        hw = run(sbg, sdepth, sdrops, stex, sedges, skeys,
+                 interpret=False)
+        it = run(sbg, sdepth, sdrops, stex, sedges, skeys,
+                 interpret=True)
+        m_hw = float(jnp.sum(hw.rain_mask))
+        m_it = float(jnp.sum(it.rain_mask))
+        diff = float(jnp.max(jnp.abs(hw.rainy_image - it.rainy_image)))
+        return m_hw > 1.0 and m_it > 1.0 and diff < 5e-2
+
+    pair_eval = row_strip = True
+    if jax.default_backend() == "tpu":   # interpret path is exact
+        try:
+            ok = kernel_modes_ok(True, True)
+        except Exception:
+            ok = False
+        if not ok:
+            pair_eval = row_strip = False
+            assert kernel_modes_ok(False, False), (
+                "even the fallback kernel diverges from interpret")
+
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
-                         fallrate=FALLRATE, raster=raster)
+                         fallrate=FALLRATE, raster=raster,
+                         pair_eval=pair_eval, row_strip=row_strip)
 
     # Simulate at full capacity (no population truncation), then pack
     # the valid drops down to the render capacity on device.
