@@ -35,10 +35,6 @@ def cv2_gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-# Above this edge length the banded-matmul blur switches to depthwise
-# convs (the band matrix grows as n^2).
-_MATMUL_BLUR_MAX_DIM = 2048
-
 # At or above this edge length the blur uses overlapping block slabs
 # with a (K, block) band matrix instead of a dense (n, n) one: a dense
 # column-blur at KITTI width does 1242 MACs/px for 25 real taps, while
@@ -130,42 +126,28 @@ def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
         img = img[..., None]
     h, w, c = img.shape
     ksize = kernel.shape[0]
+    r = (ksize - 1) // 2
     kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
 
-    if max(h, w) <= _MATMUL_BLUR_MAX_DIM:
-        if h >= _BLOCKED_BLUR_MIN_DIM:
-            out = _blocked_axis_blur(img, kernel_key, kernel)
-        else:
-            kh = jnp.asarray(_blur_matrix(h, kernel_key, kernel),
-                             img.dtype)
-            out = jnp.einsum("ij,jwc->iwc", kh, img,
-                             preferred_element_type=jnp.float32)
-        if w >= _BLOCKED_BLUR_MIN_DIM:
-            out = _blocked_axis_blur(out.transpose(1, 0, 2), kernel_key,
-                                     kernel).transpose(1, 0, 2)
-        else:
-            kw = jnp.asarray(_blur_matrix(w, kernel_key, kernel),
-                             img.dtype)
-            out = jnp.einsum("hjc,wj->hwc", out, kw,
-                             preferred_element_type=jnp.float32)
-        return out[..., 0] if squeeze else out
-
-    # Fallback: depthwise convs (large frames).
-    k = jnp.asarray(kernel, dtype=img.dtype)
-    r = (ksize - 1) // 2
-    p = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
-    x = p.transpose(2, 0, 1)[None]                       # (1, C, H+, W+)
-    krow = jnp.broadcast_to(k[None, None, :, None], (c, 1, ksize, 1))
-    kcol = jnp.broadcast_to(k[None, None, None, :], (c, 1, 1, ksize))
-    dn = jax.lax.conv_dimension_numbers(x.shape, krow.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, krow, (1, 1), "VALID",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kcol, (1, 1), "VALID",
-                                     dimension_numbers=dn,
-                                     feature_group_count=c)
-    out = x[0].transpose(1, 2, 0)
+    # Per-axis: block slabs for long axes (linear cost — no size cap
+    # needed; the old depthwise-conv fallback for >2048-px axes ran on
+    # the VPU at a fraction of peak), dense band matrix for short ones
+    # (also the r >= n case, where REFLECT_101 folds more than once).
+    if h >= _BLOCKED_BLUR_MIN_DIM and r < h:
+        out = _blocked_axis_blur(img, kernel_key, kernel)
+    else:
+        kh = jnp.asarray(_blur_matrix(h, kernel_key, kernel),
+                         img.dtype)
+        out = jnp.einsum("ij,jwc->iwc", kh, img,
+                         preferred_element_type=jnp.float32)
+    if w >= _BLOCKED_BLUR_MIN_DIM and r < w:
+        out = _blocked_axis_blur(out.transpose(1, 0, 2), kernel_key,
+                                 kernel).transpose(1, 0, 2)
+    else:
+        kw = jnp.asarray(_blur_matrix(w, kernel_key, kernel),
+                         img.dtype)
+        out = jnp.einsum("hjc,wj->hwc", out, kw,
+                         preferred_element_type=jnp.float32)
     return out[..., 0] if squeeze else out
 
 

@@ -64,3 +64,14 @@ def test_separable_blur_blocked_path_matches_cv2(rng):
         got = np.asarray(separable_blur(jnp.asarray(img), k))
         want = cv2.GaussianBlur(img, (25, 25), 25.0)
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_separable_blur_wide_axis_matches_cv2(rng):
+    # Axes beyond the old 2048 dense cap (e.g. the Cityscapes full-res
+    # envmap feather at W~2613) now use the blocked path too; the
+    # depthwise-conv fallback was removed.
+    img = rng.rand(64, 2613, 3).astype(np.float32)
+    k = cv2_gaussian_kernel(15, 2.6)
+    got = np.asarray(separable_blur(jnp.asarray(img), k))
+    want = cv2.GaussianBlur(img, (15, 15), 2.6)
+    np.testing.assert_allclose(got, want, atol=2e-5)
