@@ -51,6 +51,8 @@ def main(argv=None):
     ap.add_argument("--capacity", type=int, default=320)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--hw", type=int, nargs=2, default=(375, 1242),
+                    metavar=("H", "W"))
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -72,7 +74,7 @@ def main(argv=None):
                                       frame_background,
                                       fused_field_planes, render_frames)
 
-    H, W = 375, 1242
+    H, W = args.hw
     B = args.batch
     settings = RenderSettings(camera=CameraSettings())
     # Same fitted ladder as bench.py (headline config).
