@@ -187,8 +187,17 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
     zero rows and ds < that pad, so the rows rotating across a plane
     boundary are always the previous plane's zero padding.
 
+    Lane placement stays 128 lanes wide the whole way: the strip's
+    window span [s, s+128) covers at most the two lane tiles of the
+    pw2 = 256 window, so a cyclic roll by s (mod 128) followed by two
+    STATIC-offset masked adds places it — tile 0 takes lanes j >= s,
+    tile 1 takes j < s (for s = 128 exactly, roll is 0 and everything
+    lands in tile 1). This skips the old pad-to-pw2 + 256-wide roll
+    (~1.5 full-window passes per drop).
+
     For bf16 planes the cast happens BEFORE the pads + rolls (halves
     the relayout bytes too)."""
+    assert pw2 == 2 * LANE, pw2   # strip windows always plan 2 tiles
     the = g.shape[0]
     dtype = scr_bank.dtype
     contribs = jnp.stack(_plane_contribs(g, prm, n_planes))
@@ -199,10 +208,19 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
     flat = contribs.reshape(n_planes * tile_h, LANE)
     if the < tile_h:
         flat = pltpu.roll(flat, ds, 0)
-    flat = jnp.pad(flat, ((0, 0), (0, pw2 - LANE)))
-    placed = pltpu.roll(flat, s, 1).reshape(n_planes, tile_h, pw2)
+    # s is the SIGNED window start of the strip's lane 0 (pair half 1
+    # can start up to 64 lanes left of the window; those wrap lanes
+    # are its zeroed other half). jnp.mod keeps the roll nonnegative.
+    rolled = pltpu.roll(flat, jnp.mod(s, LANE),
+                        1).reshape(n_planes, tile_h, LANE)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     for i in range(n_planes):
-        scr_bank[i] = scr_bank[i] + placed[i]
+        scr_bank[i, :, 0:LANE] = (
+            scr_bank[i, :, 0:LANE]
+            + jnp.where(j >= s, rolled[i], jnp.zeros((), dtype)))
+        scr_bank[i, :, LANE:2 * LANE] = (
+            scr_bank[i, :, LANE:2 * LANE]
+            + jnp.where(j < s, rolled[i], jnp.zeros((), dtype)))
 
 
 def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
@@ -490,12 +508,13 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
                     keep = jnp.where((c % 2) == 0, half, ~half)
                     g = jnp.where(keep, stash[...], 0.0)
-                    # Own half's lane roll: half 0's content starts at
-                    # eval lane 0 (roll s); half 1's at eval lane 64
-                    # (roll s - 64, cyclically).
-                    s = jnp.where((c % 2) == 0, s,
-                                  jax.lax.rem(s - LANE // 2 + pw2,
-                                              pw2))
+                    # Own half's placement start: half 0's content
+                    # begins at eval lane 0 (start s); half 1's at
+                    # eval lane 64, i.e. window start s - 64 — may be
+                    # NEGATIVE, which the accumulate's signed tile
+                    # masks handle (the wrapped lanes are the zeroed
+                    # other half by construction).
+                    s = jnp.where((c % 2) == 0, s, s - LANE // 2)
                 else:
                     g = _patch_eval(prm,
                                     lambda r, m: ayc_ref[0, 0, r, m],
