@@ -505,6 +505,64 @@ def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
         b, fg, fl, env, ov, cfg))(bg, fogged, fmaps, env_save, overflow)
 
 
+# Process-level cache of kernel-mode value-gate outcomes, keyed by
+# (pair_eval, row_strip, fields_dtype). Populated by
+# resolve_kernel_modes; read back by bench.py for JSON disclosure.
+_MODE_GATE: dict = {}
+
+
+def resolve_kernel_modes(cfg: PipelineConfig) -> PipelineConfig:
+    """Value-gate the pair/row-strip kernel modes on real hardware.
+
+    The round-3 pair-eval and row-strip modes are interpret/oracle
+    validated, but a Mosaic miscompile on the real chip would silently
+    mis-render (the exact failure class of the round-2 constant-folding
+    landmine — CLAUDE.md). On TPU this runs a small-scene compiled-vs-
+    interpret value check ONCE per (pair_eval, row_strip, fields_dtype)
+    per process (via :func:`raintpu.tools.tpu_selfcheck.kernel_modes_ok`)
+    and downgrades to the proven plain-strip kernel on divergence.
+    Non-TPU backends run the interpret path and are exact by
+    construction. Production entry points (RenderJob, bench.py) call
+    this once per config before rendering.
+    """
+    if not (cfg.pair_eval or cfg.row_strip):
+        return cfg
+    if cfg.resolved_composite_mode() != "fused":
+        return cfg
+    if jax.default_backend() != "tpu":
+        return cfg
+    key = (cfg.pair_eval, cfg.row_strip, cfg.fields_dtype)
+    rec = _MODE_GATE.get(key)
+    if rec is None:
+        from raintpu.tools.tpu_selfcheck import kernel_modes_ok
+        try:
+            ok = kernel_modes_ok(*key)
+            err = None
+        except Exception as e:  # compile/runtime failure = mode unusable
+            ok, err = False, f"{type(e).__name__}: {e}"
+        if not ok:
+            from raintpu.utils.logging import print_warning
+            print_warning(
+                "kernel modes pair_eval=%s row_strip=%s diverged from "
+                "interpret on this backend (%s); falling back to the "
+                "plain-strip kernel" % (key[0], key[1],
+                                        err or "value mismatch"))
+            assert kernel_modes_ok(False, False, cfg.fields_dtype), (
+                "even the plain-strip fallback kernel diverges from "
+                "interpret — nothing on this backend is trustworthy")
+        rec = {"ok": ok, "error": err}
+        _MODE_GATE[key] = rec
+    if rec["ok"]:
+        return cfg
+    return dataclasses.replace(cfg, pair_eval=False, row_strip=False)
+
+
+def mode_gate_report() -> dict:
+    """Gate outcomes observed this process (for bench JSON disclosure)."""
+    return {f"pair={k[0]},row_strip={k[1]},dtype={k[2]}": dict(v)
+            for k, v in _MODE_GATE.items()}
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frames(bg: jnp.ndarray,
                   depth: jnp.ndarray,

@@ -107,10 +107,12 @@ class OnlineRenderJob(RenderJob):
         coefficient damping) scales with the capacity it is handed —
         in-loop compaction is worth +17% end-to-end on the online
         KITTI 25 mm/hr bench (measured round 3). The render capacity is
-        fixed from the first batch's max valid count (x1.3 + 64,
-        128-aligned, deterministic given the seed/schedule); any later
-        outlier batch that exceeds it is counted as truncated and
-        warned, exactly like the sim-capacity clamp."""
+        fitted from the first batch's max valid count (x1.3 + 64,
+        128-aligned); a later batch that exceeds it REFITS the capacity
+        upward and re-jits the compact fn once (one recompile) rather
+        than dropping drops — unlike the sim-capacity clamp, render
+        truncation would silently change frame content relative to the
+        simulated population."""
         import jax
         import jax.numpy as jnp
 
@@ -120,21 +122,27 @@ class OnlineRenderJob(RenderJob):
         sim_cap = batch.valid.shape[-1]
         valid_counts = np.asarray(jnp.sum(
             batch.valid.astype(jnp.int32), axis=-1))
+
+        def fit(n_valid: int) -> int:
+            cap = int(n_valid * 1.3) + 64
+            return min(-(-cap // 128) * 128, sim_cap)
+
+        vmax = int(valid_counts.max())
+        if self._render_cap is not None and vmax > self._render_cap:
+            print_warning(
+                f"a batch holds {vmax} valid drops, over the fitted "
+                f"render capacity ({self._render_cap}); refitting to "
+                f"{fit(vmax)} (one recompile).")
+            self._render_cap = None
         if self._render_cap is None:
-            cap = int(valid_counts.max() * 1.3) + 64
-            cap = min(-(-cap // 128) * 128, sim_cap)
+            cap = fit(vmax)
             self._render_cap = cap
+            self._compact_fn = None
             if cap < sim_cap:
                 self._compact_fn = jax.jit(jax.vmap(
                     lambda d: compact_drop_batch(d, cap)))
         if self._compact_fn is None:
             return batch
-        lost = int(np.maximum(valid_counts - self._render_cap, 0).sum())
-        if lost:
-            self._truncated_total += lost
-            print_warning(
-                f"{lost} drop(s) exceeded the fitted render capacity "
-                f"({self._render_cap}) and were dropped this batch.")
         return self._compact_fn(batch)
 
     def _drops_for_frames(self, frame_indices):

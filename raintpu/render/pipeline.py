@@ -285,6 +285,12 @@ class RenderJob:
                         drop_capacity=s.drop_capacity,
                         save_envmap=s.save_envmap,
                         compute_saturation_mask=s.save_saturation)
+                # Value-gate the pair/row-strip kernel modes on real
+                # hardware (once per process) so a Mosaic divergence
+                # falls back to the proven kernel instead of silently
+                # mis-rendering production output.
+                from raintpu.render.frame import resolve_kernel_modes
+                cfg = resolve_kernel_modes(cfg)
 
                 idx = self._frame_indices(len(files))
                 prog.start("frame", len(idx))

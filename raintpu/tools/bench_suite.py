@@ -23,14 +23,31 @@ import sys
 import time
 
 
-def _timed(step, data, iters=6):
+def _timed(step, data, iters=6, perturb_ix=(1, 2, 3)):
     """Time `step(i, *data)` device-side. `data` are jit ARGUMENTS
-    (never constants — see module docstring)."""
+    (never constants — see module docstring).
+
+    Fresh-frame honesty: the float args at ``perturb_ix`` (by default
+    bg/depth/drops; keys and the texture bank stay static, mirroring
+    the reference's precomputed streak DB) get ``i * 1e-12`` added
+    inside the loop — value-identical in f32 but loop-VARIANT, so XLA's
+    while-loop LICM cannot hoist fog/envmap/photometry/geometry out of
+    the timed loop (the round-3 honesty finding: with static inputs
+    those stages run ONCE, not per iteration, and the suite numbers
+    were steady-state, not per-frame)."""
     import jax
+    import jax.numpy as jnp
 
     def many(*args):
-        return jax.lax.fori_loop(
-            0, iters, lambda i, a: a + step(i, *args), 0.0)
+        def body(i, acc):
+            eps = i.astype(jnp.float32) * 1e-12
+            p = [jax.tree_util.tree_map(
+                     lambda x: x + eps.astype(x.dtype)
+                     if jnp.issubdtype(x.dtype, jnp.floating) else x, a)
+                 if j in perturb_ix else a
+                 for j, a in enumerate(args)]
+            return acc + step(i, *p)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
 
     f = jax.jit(many)
     float(f(*data))
@@ -304,7 +321,10 @@ def bench_online():
         return (jnp.sum(out.rain_mask[:, ::97, ::97])
                 + jnp.sum(out.rainy_image[:, ::97, ::97]))
     _assert_rain(render_frames(bg, depth, drops0, bank, edges, keys, cfg))
-    rate = B / _timed(step, (keys, bg, depth, bank, edges))
+    # drops are simulated in-loop (keyed by i) — only bg/depth need the
+    # honesty perturbation here.
+    rate = B / _timed(step, (keys, bg, depth, bank, edges),
+                      perturb_ix=(1, 2))
     return {"metric": "online sim+render KITTI @25mm/hr",
             "value": round(rate, 2), "unit": "images/s",
             "vs_baseline": round(rate / 500.0, 3)}

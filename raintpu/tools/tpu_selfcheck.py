@@ -53,6 +53,44 @@ def build_scene(B=2, H=96, W=256, fallrate=100.0, capacity=64):
     return cfg, (bg, depth, drops, tex, edges, keys)
 
 
+def kernel_modes_ok(pair_eval: bool, row_strip: bool,
+                    fields_dtype: str = "float32") -> bool:
+    """Value-check one kernel-mode combination: compiled vs interpret.
+
+    Renders the small self-check scene through the fused kernel with
+    the given modes twice — compiled for the current backend and in
+    Pallas interpret mode — and returns True iff both produce real rain
+    and agree within the selfcheck tolerance. This is the shared gate
+    ``raintpu.render.frame.resolve_kernel_modes`` and bench.py use
+    before trusting a mode that may never have compiled through Mosaic
+    on real hardware.
+    """
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.render import frame as frame_mod
+
+    cfg, (bg, depth, drops, tex, edges, keys) = build_scene()
+    cfg = dataclasses.replace(cfg, pair_eval=pair_eval,
+                              row_strip=row_strip,
+                              fields_dtype=fields_dtype)
+
+    @partial(jax.jit, static_argnames=("interpret",))
+    def run(bg, depth, drops, tex, edges, keys, interpret):
+        return frame_mod._render_frames_fused(
+            bg, depth, drops, tex, edges, keys, cfg, interpret=interpret)
+
+    hw = run(bg, depth, drops, tex, edges, keys, interpret=False)
+    it = run(bg, depth, drops, tex, edges, keys, interpret=True)
+    m_hw = float(jnp.sum(hw.rain_mask))
+    m_it = float(jnp.sum(it.rain_mask))
+    diff = float(jnp.max(jnp.abs(hw.rainy_image - it.rainy_image)))
+    return m_hw > 1.0 and m_it > 1.0 and diff < 5e-2
+
+
 def main():
     import jax
     import jax.numpy as jnp
