@@ -36,6 +36,9 @@ indistinguishably.
 A/B env knobs (replacing the retired _bench_dtype.py):
   BATCH, ITERS, HW ("375x1242"), FALLRATE, CAPACITY — workload shape
   FIELDS_DTYPE (float32|bfloat16), ROW_STRIP=0, PAIR=0 — kernel levers
+  MODAL=0 — disable the modal-blur prep transform (RasterConfig.modal_blur)
+  CDS=4 — cone_downsample for the per-drop cone photometry (1 = exact;
+          4 is 16x cheaper with 1.6e-3 end-to-end effect, BASELINE.md)
   FITTED=1 — replace the hand ladder with ops.rasterize.fit_raster_config
   BENCH_BACKEND_RETRY_S — backend poll budget (default 600 s)
 """
@@ -96,7 +99,7 @@ def main():
         BucketSpec(48, 32, 8, 64, 12, 6, 3),
         BucketSpec(96, 64, 12, 32, 24, 10, 4),
         BucketSpec(112, 96, 20, 16, 16, 8, 4),
-    ))
+    ), modal_blur=_env_flag("MODAL"))
 
     want_pair = _env_flag("PAIR")
     want_row_strip = _env_flag("ROW_STRIP")
@@ -104,7 +107,8 @@ def main():
                          fallrate=FALLRATE, raster=raster,
                          pair_eval=want_pair, row_strip=want_row_strip,
                          fields_dtype=os.environ.get("FIELDS_DTYPE",
-                                                     "float32"))
+                                                     "float32"),
+                         cone_downsample=int(os.environ.get("CDS", "1")))
     # Value-gate the kernel modes on hardware (shared gate, once per
     # process); the JSON line below discloses what actually ran.
     cfg = resolve_kernel_modes(cfg)
@@ -215,6 +219,7 @@ def main():
         "pair_eval": cfg.pair_eval,
         "row_strip": cfg.row_strip,
         "fields_dtype": cfg.fields_dtype,
+        "modal_blur": cfg.raster.modal_blur,
         "fallback_fired": fallback_fired,
         "mode_gate": mode_gate_report(),
         "ladder": [[b.ph, b.pw, b.radius, b.capacity]

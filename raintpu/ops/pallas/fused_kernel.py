@@ -54,7 +54,7 @@ def plan_window(ph: int, pw: int, sublane: int = SUBLANE):
     ph2 = n_tiles * tile_h
     return ph2, pw2, tile_h, n_tiles
 
-# params row layout (22, B*C). P_SGX/P_SGY: blur sigma in NORMALIZED
+# params row layout (26, B*C). P_SGX/P_SGY: blur sigma in NORMALIZED
 # texture coordinates (ops.rasterize.fourier_drop_coefficients).
 P_M00, P_M01, P_M02, P_M10, P_M11, P_M12, P_M20, P_M21, P_M22 = range(9)
 P_MINCX, P_MINCY, P_WCX, P_WCY, P_SGX, P_SGY, P_LO = range(9, 16)
@@ -62,7 +62,11 @@ P_ADDR, P_ADDG, P_ADDB = range(16, 19)
 # Pre-tau drop color — only read when the kernel runs with the
 # saturation planes (PipelineConfig.compute_saturation_mask).
 P_SATR, P_SATG, P_SATB = range(19, 22)
-N_PARAMS = 22
+# Content band (UL, UU, VL, VU) in normalized texture coords: [0,1]
+# except Big drops clipped by the image border, whose warp canvas crops
+# content BEFORE the defocus blur (ops.rasterize._tex_band).
+P_UL, P_UU, P_VL, P_VU = range(22, 26)
+N_PARAMS = 26
 
 
 def _erf(x):
@@ -131,14 +135,16 @@ def _patch_eval(prm, cy, cx, ax, ay, r_ranks, modes_y,
     sqrt2 = 1.4142135
     sx = jnp.maximum(prm(P_SGX), 2e-3)
     sy = jnp.maximum(prm(P_SGY), 2e-3)
-    win = (0.5 * (_erf(xhat / (sqrt2 * sx))
-                  - _erf((xhat - 1.0) / (sqrt2 * sx)))
-           * 0.5 * (_erf(yhat / (sqrt2 * sy))
-                    - _erf((yhat - 1.0) / (sqrt2 * sy))))
+    ul, uu = prm(P_UL), prm(P_UU)
+    vl, vu = prm(P_VL), prm(P_VU)
+    win = (0.5 * (_erf((xhat - ul) / (sqrt2 * sx))
+                  - _erf((xhat - uu) / (sqrt2 * sx)))
+           * 0.5 * (_erf((yhat - vl) / (sqrt2 * sy))
+                    - _erf((yhat - vu) / (sqrt2 * sy))))
     mx = 0.25 + 4.0 * sx
     my = 0.25 + 4.0 * sy
-    win = jnp.where((xhat >= -mx) & (xhat <= 1.0 + mx)
-                    & (yhat >= -my) & (yhat <= 1.0 + my), win, 0.0)
+    win = jnp.where((xhat >= ul - mx) & (xhat <= uu + mx)
+                    & (yhat >= vl - my) & (yhat <= vu + my), win, 0.0)
     g = jnp.clip(g, 0.0, 1.0) * win
     return jnp.where(g > ALPHA_CUTOFF, g, 0.0)
 
@@ -576,7 +582,7 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
     jax.jit,
     static_argnames=("window_hw", "tex_hw", "strip_pad", "row_strip",
                      "pair", "interpret"))
-def fused_raster_composite(params: jnp.ndarray,    # (B, 22, C) f32
+def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
                            anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
                            bxc: jnp.ndarray,       # (B, C, R, Mx)

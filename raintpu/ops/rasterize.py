@@ -26,6 +26,7 @@ border exactly like the reference's delta-crop.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 from typing import Optional, Tuple
 
@@ -92,6 +93,13 @@ class RasterConfig:
     # bilinearly samples the stored textures (golden/compat path; its
     # big gathers are pathological for the TPU compiler).
     texture_mode: str = "fourier"
+    # Modal blur (round 4): heavily-defocused drops re-represent each
+    # blurred axis profile in the cosine basis of a per-drop interval
+    # padded past the blur reach, where spectral damping IS the exact
+    # compact blur (see fourier_drop_coefficients). Fixes the classic
+    # model's support widening at sigma_hat >~ 0.05 (measured 1.3x
+    # support at equal mass on close-scene drops). Off switch for A/B.
+    modal_blur: bool = True
 
     @staticmethod
     def default(capacity: int) -> "RasterConfig":
@@ -295,6 +303,68 @@ class DropGeometry:
     content_wh: jnp.ndarray  # (N, 2) float — (w_c, h_c)
     sigma: jnp.ndarray    # (N,) float — defocus CoC (0 when disabled)
     shift: jnp.ndarray    # (N,) int32 — reference margin int(10*sigma)
+    band: jnp.ndarray     # (N, 4) float — (UL, UU, VL, VU) content band
+    #                       in normalized texture coords (see _tex_band)
+
+
+def _tex_band(M: jnp.ndarray, wh_c: jnp.ndarray, is_big: jnp.ndarray,
+              tex_hw) -> jnp.ndarray:
+    """Texture-coordinate content band (UL, UU, VL, VU) per drop.
+
+    The reference's Big-drop branch warps onto a canvas of exactly
+    (maxx-minx, maxy-miny) — the destination-quad bbox CLIPPED TO THE
+    IMAGE (``warping_points``, bad_weather.py:303-313) — and the canvas
+    crop happens BEFORE the defocus blur (generator.py:127-132 then
+    circle_of_confusion). A drop whose quad leaves the frame therefore
+    loses that content entirely; only the blur of what SURVIVED spills
+    back in. Measured on the close parity scene: a bottom-clipped big
+    drop rendered 1.55x the reference's mass until this clip was
+    modeled (round 4).
+
+    We fold the clip into the texture-rect window: instead of the fixed
+    band [0,1]^2, the erf window runs over [UL,UU]x[VL,VU] where the
+    bounds are the canvas box mapped into texture coords. Under the
+    closed-form Big homography v depends ONLY on ly (hz has no lx
+    term), so the y-cut is exact; the x-cut is evaluated at the content
+    midheight (the quad's side edges are near-vertical at the scales
+    the branch produces). Unclipped drops and all Small/Medium drops
+    (whose canvas is never pre-blur-cropped — rotate+resize builds the
+    full canvas, generator.py:136-171) keep the exact [0,1] band, so
+    this is bit-identical for them.
+    """
+    th, tw = tex_hw
+    w_c, h_c = wh_c[:, 0], wh_c[:, 1]
+
+    def apply(x, y):
+        hx = M[:, 0, 0] * x + M[:, 0, 1] * y + M[:, 0, 2]
+        hy = M[:, 1, 0] * x + M[:, 1, 1] * y + M[:, 1, 2]
+        hz = M[:, 2, 0] * x + M[:, 2, 1] * y + M[:, 2, 2]
+        hz = jnp.where(jnp.abs(hz) < 1e-9, 1e-9, hz)
+        return hx / hz, hy / hz
+
+    cx = (w_c - 1.0) / 2.0
+    cy = (h_c - 1.0) / 2.0
+    # Canvas edge pixels' outer faces, in normalized texture coords.
+    tx0, _ = apply(-0.5, cy)
+    tx1, _ = apply(w_c - 0.5, cy)
+    _, ty0 = apply(cx, -0.5)
+    _, ty1 = apply(cx, h_c - 0.5)
+    u0 = (tx0 + 0.5) / tw
+    u1 = (tx1 + 0.5) / tw
+    v0 = (ty0 + 0.5) / th
+    v1 = (ty1 + 0.5) / th
+
+    ul = jnp.clip(jnp.minimum(u0, u1), 0.0, 1.0)
+    uu = jnp.clip(jnp.maximum(u0, u1), 0.0, 1.0)
+    vl = jnp.clip(jnp.minimum(v0, v1), 0.0, 1.0)
+    vu = jnp.clip(jnp.maximum(v0, v1), 0.0, 1.0)
+
+    zero = jnp.zeros_like(ul)
+    one = jnp.ones_like(ul)
+    return jnp.stack([jnp.where(is_big, ul, zero),
+                      jnp.where(is_big, uu, one),
+                      jnp.where(is_big, vl, zero),
+                      jnp.where(is_big, vu, one)], -1)
 
 
 def drop_geometry(drops: DropBatch,
@@ -331,9 +401,11 @@ def drop_geometry(drops: DropBatch,
         sigma = jnp.zeros((n,), jnp.float32)
         shift = jnp.zeros((n,), jnp.int32)
 
+    wh_c = jnp.stack([w_c, h_c], -1)
     return DropGeometry(
         M=M, min_c=jnp.stack([minx, miny], -1),
-        content_wh=jnp.stack([w_c, h_c], -1), sigma=sigma, shift=shift)
+        content_wh=wh_c, sigma=sigma, shift=shift,
+        band=_tex_band(M, wh_c, is_big, tex_hw))
 
 
 def _sample_texture(textures: jnp.ndarray, tex_idx: jnp.ndarray,
@@ -466,19 +538,112 @@ def _raster_bucket_gather(b: BucketSpec, supersample, textures, t_sel,
     return jnp.clip(g / (s * s), 0.0, 1.0)
 
 
+# Modal-blur quadrature resolution (samples per padded interval). The
+# sampled profile is pre-filtered (classic damping at the sample
+# spacing) before sampling, so 64 points are alias-free for any mode
+# count / pad length.
+MODAL_S = 64
+# Below this normalized sigma the classic mirror-damped model is
+# already exact to ~1e-3 and modal re-representation buys nothing.
+MODAL_FLOOR = 0.04
+
+
+def _modal_thresh(modes: int) -> float:
+    """Smallest normalized sigma at which `modes` cosine modes on the
+    padded interval resolve the damped spectrum: the damping cuts the
+    spectrum at ~2.5 L / (pi sigma) modes with L = 1.1 + 8.5 sigma.
+    Returns inf when the bucket's truncated mode budget can never
+    cover it (the classic model stays in charge there)."""
+    denom = math.pi * modes - 21.25
+    if denom <= 0:
+        return float("inf")
+    return max(MODAL_FLOOR, 2.75 / denom)
+
+
+def _modal_axis(c, bl, bu, sig):
+    """Exact-blur re-representation of one axis profile (see
+    fourier_drop_coefficients). c: (C, R, M) cosine coefficients on
+    [0, 1]; bl/bu: (C,) content band (canvas clip); sig: (C,)
+    normalized blur std. Returns (c2, a, L): coefficients of the
+    blurred band-windowed profile in the cosine basis of [a, a+L].
+
+    The padded interval reaches 4.25 sigma past the band, where the
+    even-periodic extension's mirror copies are < e^-9 — so per-mode
+    Gaussian damping on THIS interval is the compact (zero-padded)
+    blur, exactly. An anti-alias prefilter (classic mirror damping at
+    the quadrature spacing) bandlimits the profile before sampling;
+    the remaining blur is applied spectrally after re-analysis.
+    """
+    n, r_, m_ = c.shape
+    s_pts = MODAL_S
+    pad = 4.25 * sig + 0.05
+    a = bl - pad
+    length = (bu - bl) + 2.0 * pad
+
+    # Anti-alias split: sig^2 = sig_pre^2 + sig_post^2.
+    h = length / s_pts                                   # (C,) spacing
+    sig_pre = jnp.minimum(sig, 1.2 * h)
+    sig_post = jnp.sqrt(jnp.maximum(sig ** 2 - sig_pre ** 2, 0.0))
+    c_pre = c * _mode_damping(sig_pre, m_)[:, None, :]
+
+    # Per-drop synthesis at quadrature points (C, R, S) — via the
+    # shared Chebyshev recurrence (one cos per point, M FMAs) instead
+    # of materializing a (C, S, M) cos basis.
+    t = (jnp.arange(s_pts, dtype=jnp.float32) + 0.5) / s_pts
+    q = a[:, None] + t[None, :] * length[:, None]
+    f = jnp.stack(_eval_dct_rank_series(c_pre, q[:, None, :]),
+                  axis=1)[:, :, 0, :]
+
+    # Band window at fractional-coverage (box) resolution.
+    cov = (jnp.minimum(bu[:, None], q + 0.5 * h[:, None])
+           - jnp.maximum(bl[:, None], q - 0.5 * h[:, None]))
+    cov = jnp.clip(cov / jnp.maximum(h[:, None], 1e-9), 0.0, 1.0)
+    f = f * cov[:, None, :]
+
+    # Static DCT-II analysis back to M modes, then padded-interval
+    # damping with the remaining blur.
+    kk = jnp.arange(m_, dtype=jnp.float32)
+    ana = jnp.cos(jnp.pi * kk[:, None] * t[None, :])     # (M, S)
+    scale = jnp.where(kk == 0, 1.0 / s_pts, 2.0 / s_pts)
+    d = jnp.einsum("crs,ms->crm", f, ana) * scale[None, None, :]
+    damp = jnp.exp(-0.5 * (jnp.pi * kk[None, :]
+                           * (sig_post / length)[:, None]) ** 2)
+    return d * damp[:, None, :], a, length
+
+
 def fourier_drop_coefficients(b: BucketSpec, fourier, t_sel, m_sel,
-                              wh_c, sigma, tex_hw, apply_defocus: bool):
-    """Per-drop damped DCT coefficients + texture-space blur sigmas.
+                              wh_c, sigma, tex_hw, apply_defocus: bool,
+                              band=None, modal: bool = True):
+    """Per-drop damped DCT coefficients + window parameters.
 
     Per-drop texture coefficients come via a one-hot matmul (MXU, no
     gather); defocus blur (sigma rows, sigma/2 cols in patch space —
     bad_weather.py:291) and pixel-footprint antialiasing (INTER_AREA
     equivalent, box variance J^2/12) become per-mode Gaussian damping
-    through the warp Jacobian. Returns (ayc (C,R,My), bxc (C,R,Mx),
-    sig_xhat (C,), sig_yhat (C,)) — the sigmas are the patch-space blur
-    projected into NORMALIZED texture coordinates (the same quantities
-    that drive the mode damping); the rasterizers build the content
-    window from them.
+    through the warp Jacobian.
+
+    CLASSIC model: damp the mirror-extended series, window by the
+    blurred indicator of the content band (erf edges at the projected
+    sigma). Exact for sigma_hat << band, but blur of the MIRROR
+    extension flattens bump profiles once the blur reach is a sizable
+    fraction of the band — measured round 4: 1.3x support at equal
+    mass vs the real reference on sigma_hat ~ 0.2 close-scene drops
+    (the gather path, which warps + blurs discretely, matched the
+    reference exactly; the factorization was the whole gap).
+
+    MODAL model (per axis, where sigma_hat exceeds _modal_thresh and
+    the bucket's mode budget can represent the result): re-represent
+    the band-windowed profile in the cosine basis of a per-drop
+    interval padded past the blur reach (_modal_axis) — damping there
+    IS the compact blur — and remap the kernel's texture coordinate
+    onto that interval by folding the affine stretch into the
+    homography row. The kernel's window then degenerates to a sharp
+    band cut (the profile already carries its own decay), so the
+    kernel evaluates BOTH models with the same code and cost.
+
+    Returns (ayc, bxc, m_out, ul, uu, vl, vu, sx, sy): coefficients,
+    the (possibly remapped) inverse homography, and the per-drop
+    window band + edge sigmas in the kernel's texture coordinates.
     """
     ay, bx = fourier
     if b.ranks:
@@ -506,26 +671,71 @@ def fourier_drop_coefficients(b: BucketSpec, fourier, t_sel, m_sel,
               + (jac[:, 1, 0] ** 2 + jac[:, 1, 1] ** 2) / 12.0)
     sig_xhat = jnp.sqrt(var_tx) / tw
     sig_yhat = jnp.sqrt(var_ty) / th
-    ayc = ayc * _mode_damping(sig_yhat, m_modes)[:, None, :]
-    bxc = bxc * _mode_damping(sig_xhat, n_modes)[:, None, :]
-    return ayc, bxc, sig_xhat, sig_yhat
+
+    if band is None:
+        ul = vl = jnp.zeros_like(sig_xhat)
+        uu = vu = jnp.ones_like(sig_xhat)
+    else:
+        ul, uu, vl, vu = (band[:, i] for i in range(4))
+
+    ayc_cl = ayc * _mode_damping(sig_yhat, m_modes)[:, None, :]
+    bxc_cl = bxc * _mode_damping(sig_xhat, n_modes)[:, None, :]
+    m_out = m_sel
+
+    thx = _modal_thresh(n_modes)
+    thy = _modal_thresh(m_modes)
+    if modal and math.isfinite(thx):
+        use = sig_xhat > thx
+        bxc_mo, a_x, l_x = _modal_axis(bxc, ul, uu, sig_xhat)
+        bxc_cl = jnp.where(use[:, None, None], bxc_mo, bxc_cl)
+        # Fold xhat -> (xhat - a)/L into homography row 0:
+        # hx' = hx/L + hz * ((0.5 - a*tw)/L - 0.5).
+        g0 = jnp.where(use, 1.0 / l_x, 1.0)
+        g1 = jnp.where(use, (0.5 - a_x * tw) / l_x - 0.5, 0.0)
+        m_out = m_out.at[:, 0, :].set(
+            m_out[:, 0, :] * g0[:, None]
+            + m_out[:, 2, :] * g1[:, None])
+        ul = jnp.where(use, 0.0, ul)
+        uu = jnp.where(use, 1.0, uu)
+        sig_xhat = jnp.where(use, 2e-3, sig_xhat)
+    if modal and math.isfinite(thy):
+        use = sig_yhat > thy
+        ayc_mo, a_y, l_y = _modal_axis(ayc, vl, vu, sig_yhat)
+        ayc_cl = jnp.where(use[:, None, None], ayc_mo, ayc_cl)
+        g0 = jnp.where(use, 1.0 / l_y, 1.0)
+        g1 = jnp.where(use, (0.5 - a_y * th) / l_y - 0.5, 0.0)
+        m_out = m_out.at[:, 1, :].set(
+            m_out[:, 1, :] * g0[:, None]
+            + m_out[:, 2, :] * g1[:, None])
+        vl = jnp.where(use, 0.0, vl)
+        vu = jnp.where(use, 1.0, vu)
+        sig_yhat = jnp.where(use, 2e-3, sig_yhat)
+
+    return (ayc_cl, bxc_cl, m_out, ul, uu, vl, vu, sig_xhat, sig_yhat)
 
 
 def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
                            offx, offy, sigma, tex_hw,
-                           apply_defocus: bool) -> jnp.ndarray:
+                           apply_defocus: bool,
+                           band=None, modal: bool = True) -> jnp.ndarray:
     """Analytic rasterization from the separable DCT streak bank.
 
     No gathers — the patch is one cosine-series evaluation per pixel
     (VPU); see :func:`fourier_drop_coefficients` for the damping.
     """
     th, tw = tex_hw
-    ayc, bxc, sig_x, sig_y = fourier_drop_coefficients(
-        b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw, apply_defocus)
+    (ayc, bxc, m_out, ul, uu, vl, vu, sig_x, sig_y) = \
+        fourier_drop_coefficients(
+            b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw,
+            apply_defocus, band=band, modal=modal)
 
-    lx, ly, tx, ty = _patch_tex_coords(b.ph, b.pw, m_sel, offx, offy)
+    lx, ly, tx, ty = _patch_tex_coords(b.ph, b.pw, m_out, offx, offy)
     xhat = (tx + 0.5) / tw
     yhat = (ty + 0.5) / th
+    ul = ul[:, None, None]
+    uu = uu[:, None, None]
+    vl = vl[:, None, None]
+    vu = vu[:, None, None]
 
     # Content window: the true patch is blur(T * 1_rect) — the warped
     # texture, zero outside its support (warpPerspective / rotate_bound
@@ -545,20 +755,26 @@ def _raster_bucket_fourier(b: BucketSpec, fourier, t_sel, m_sel, wh_c,
     # measured 1.76x per-drop mass excess vs the real reference at
     # 5.7 deg rotation. The texture-rect window zeroes those corners by
     # construction.)
+    # Band bounds: [0,1]^2 for SM / unclipped drops; the image-clipped
+    # canvas box for Big drops (see _tex_band — the reference crops the
+    # warped content BEFORE the blur, so clipped content must not
+    # contribute even through its blur skirt); [0,1] at a sharp edge
+    # sigma for modal-blur axes (the blurred profile carries its own
+    # decay). All from fourier_drop_coefficients.
     erf = tanh_erf
     sqrt2 = 1.4142135
     sx = jnp.maximum(sig_x, 2e-3)[:, None, None]
     sy = jnp.maximum(sig_y, 2e-3)[:, None, None]
-    win = (0.5 * (erf(xhat / (sqrt2 * sx))
-                  - erf((xhat - 1.0) / (sqrt2 * sx)))
-           * 0.5 * (erf(yhat / (sqrt2 * sy))
-                    - erf((yhat - 1.0) / (sqrt2 * sy))))
+    win = (0.5 * (erf((xhat - ul) / (sqrt2 * sx))
+                  - erf((xhat - uu) / (sqrt2 * sx)))
+           * 0.5 * (erf((yhat - vl) / (sqrt2 * sy))
+                    - erf((yhat - vu) / (sqrt2 * sy))))
     # Hard bound: the tanh-erf window is < ALPHA_CUTOFF beyond ~3.5
     # sigma outside the rect, so this only guards far mirror copies.
     mx = 0.25 + 4.0 * sx
     my = 0.25 + 4.0 * sy
-    win = jnp.where((xhat >= -mx) & (xhat <= 1.0 + mx)
-                    & (yhat >= -my) & (yhat <= 1.0 + my), win, 0.0)
+    win = jnp.where((xhat >= ul - mx) & (xhat <= uu + mx)
+                    & (yhat >= vl - my) & (yhat <= vu + my), win, 0.0)
 
     uy = _eval_dct_rank_series(ayc, yhat)
     vx = _eval_dct_rank_series(bxc, xhat)
@@ -620,13 +836,16 @@ def raster_params_frame(drops: DropBatch,
         ax = jnp.clip(a[:, 0], 0.0, float(w_img)).astype(jnp.int32)
         ay = jnp.clip(a[:, 1], 0.0, float(h_img)).astype(jnp.int32)
 
-        ayc, bxc, sig_x, sig_y = fourier_drop_coefficients(
-            b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw, apply_defocus)
+        (ayc, bxc, m_out, ul, uu, vl, vu, sig_x, sig_y) = \
+            fourier_drop_coefficients(
+                b, fourier, t_sel, m_sel, wh_c, sigma, tex_hw,
+                apply_defocus, band=geom.band[idx],
+                modal=cfg.modal_blur)
         # Zero coefficients of invalid slots (cheap belt + braces on top
         # of the kernel's count gate).
         ayc = jnp.where(sel_valid[:, None, None], ayc, 0.0)
 
-        m = m_sel.reshape(-1, 9)
+        m = m_out.reshape(-1, 9)
         zeros = jnp.zeros_like(sig_x)
         params = jnp.stack([
             m[:, 0], m[:, 1], m[:, 2], m[:, 3], m[:, 4], m[:, 5],
@@ -635,6 +854,7 @@ def raster_params_frame(drops: DropBatch,
             sig_x, sig_y,
             zeros, zeros, zeros, zeros,    # lo, add_rgb (caller fills)
             zeros, zeros, zeros,           # sat_rgb (caller fills)
+            ul, uu, vl, vu,
         ], axis=0)                                       # (N_PARAMS, C)
         out.append(dict(params=params,
                         anchor=jnp.stack([ax, ay], -1),
@@ -684,7 +904,8 @@ def rasterize_frame_drops(drops: DropBatch,
         if cfg.texture_mode == "fourier" and fourier is not None:
             g = _raster_bucket_fourier(
                 b, fourier, t_sel, m_sel, wh_c, offx, offy, sigma,
-                textures.shape[1:], apply_defocus)
+                textures.shape[1:], apply_defocus, band=geom.band[idx],
+                modal=cfg.modal_blur)
         else:
             g = _raster_bucket_gather(
                 b, cfg.supersample, textures, t_sel, m_sel, wh_c,

@@ -38,11 +38,26 @@ def build_scene(B=2, H=96, W=256, fallrate=100.0, capacity=64):
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=fallrate, raster=raster,
                          env_downsample=4, composite_mode="fused")
+    # Two populations so the value check covers every kernel parameter
+    # class: frame 0 = the standard mix (strip/pair modes, modal blur
+    # at the heavy-defocus end), frame 1 = a NEAR-FIELD population
+    # (z <= 2 m) with Big perspective drops, image-clipped canvas bands
+    # (P_UL..P_VU) and the heaviest blur.
     sim_cfg = SimConfig(image_wh=(W, H), focal_px=(300.0, 300.0),
                         exposure_s=2e-3, capacity=capacity, z_max=6.0)
     drops = simulate_frames(jax.random.PRNGKey(1), sim_cfg,
                             jnp.full(B, fallrate), jnp.full(B, 5.0),
                             jnp.full(B, 2e-3), jnp.ones(B))
+    if B >= 2:
+        sim_close = SimConfig(image_wh=(W, H), focal_px=(500.0, 500.0),
+                              exposure_s=2e-3, capacity=capacity,
+                              z_max=2.0)
+        close = simulate_frames(jax.random.PRNGKey(7), sim_close,
+                                jnp.full(1, 60.0), jnp.full(1, 6.0),
+                                jnp.full(1, 2e-3), jnp.ones(1))
+        drops = jax.tree.map(
+            lambda a, c: jnp.concatenate([a[:-1], c], axis=0),
+            drops, close)
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 40 + 3).astype(np.float32))

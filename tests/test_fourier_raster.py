@@ -86,6 +86,104 @@ def test_fourier_matches_gather_defocused():
     assert abs(tot_f - tot_g) / tot_g < 0.3, (tot_f, tot_g)
 
 
+def test_close_population_fourier_matches_gather():
+    """Round-4 regressions, both measured against the real reference
+    on the close parity scene before fixing:
+
+    * Big drops clipped by the image border must lose the clipped
+      content BEFORE the blur (the reference's warp canvas is the
+      image-clipped quad bbox, bad_weather.py:303-313) — the band
+      window (_tex_band). Was 1.55x mass on a bottom-clipped drop.
+    * Heavily-defocused drops must keep their bump profile instead of
+      the mirror-factorization's flat-top (modal blur). Was 1.3x
+      support at equal mass at sigma_hat ~ 0.2.
+
+    The gather path warps discretely inside the canvas then blurs —
+    it has always modeled both effects — so it is the oracle here.
+    """
+    W, H, cap = 160, 96, 64
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    sim = SimConfig(image_wh=(W, H), focal_px=(500.0, 500.0),
+                    exposure_s=2e-3, capacity=cap, z_max=2.0)
+    drops = simulate_frame(jax.random.PRNGKey(13), sim, 60.0, 6.0,
+                           2e-3, 1.0)
+    # Full-mode buckets (modal needs the mode budget; radius 24 covers
+    # the 4*sigma = 18 px blur of the z=0.27 drop).
+    raster = RasterConfig(buckets=(BucketSpec(48, 32, 6, cap),
+                                   BucketSpec(128, 96, 24, 24)),
+                          supersample=4)
+    tex_idx = select_textures(drops, jnp.asarray(db.bin_edges),
+                              jax.random.PRNGKey(0))
+    geom = drop_geometry(drops, bank.raw.shape[1:], (W, H),
+                         focal_m=6e-3, f_number=6.0, focus_plane=6.0,
+                         coc_pixsize=4.65e-6, apply_defocus=True)
+    bg = rasterize_frame_drops(
+        drops, geom, bank.raw, tex_idx, (W, H),
+        dataclasses.replace(raster, texture_mode="gather"),
+        apply_defocus=True)
+    bf = rasterize_frame_drops(
+        drops, geom, bank.raw, tex_idx, (W, H), raster,
+        apply_defocus=True, fourier=(bank.ay, bank.bx))
+    minc = np.asarray(geom.min_c)
+    shift = np.asarray(geom.shift)
+    checked = 0
+    for g_b, f_b in zip(bg, bf):
+        g = np.asarray(g_b.patches)
+        f = np.asarray(f_b.patches)
+        valid = np.asarray(g_b.valid)
+        didx = np.asarray(g_b.drop_idx)
+        for c in range(g.shape[0]):
+            if not valid[c] or g[c].max() == 0:
+                continue
+            # Skip drops whose patch anchor is clipped by the TOP/LEFT
+            # image border: there the gather oracle itself is wrong —
+            # it rasterizes only in-patch rows, losing the blur spill
+            # FROM off-image content that the reference (and the
+            # analytic path) keeps by blurring the full canvas before
+            # placement.
+            a = minc[didx[c]] - shift[didx[c]]
+            if a[0] < 0 or a[1] < 0:
+                continue
+            checked += 1
+            mass_r = f[c].sum() / max(g[c].sum(), 1e-6)
+            assert 0.85 < mass_r < 1.15, (c, mass_r)
+            sup_r = (f[c] > 0.02).sum() / max((g[c] > 0.02).sum(), 1)
+            assert 0.75 < sup_r < 1.25, (c, sup_r)
+    assert checked >= 8, checked
+
+
+def test_modal_blur_off_reproduces_classic_widening():
+    """The modal_blur switch must actually control the model: with it
+    off, the heavy-defocus population renders measurably wider support
+    (the classic factorization flattening) than with it on."""
+    W, H, cap = 160, 96, 64
+    db = procedural_streak_database()
+    bank = texture_bank(db)
+    sim = SimConfig(image_wh=(W, H), focal_px=(500.0, 500.0),
+                    exposure_s=2e-3, capacity=cap, z_max=2.0)
+    drops = simulate_frame(jax.random.PRNGKey(13), sim, 60.0, 6.0,
+                           2e-3, 1.0)
+    raster = RasterConfig(buckets=(BucketSpec(48, 32, 6, cap),
+                                   BucketSpec(128, 96, 24, 24)))
+    tex_idx = select_textures(drops, jnp.asarray(db.bin_edges),
+                              jax.random.PRNGKey(0))
+    geom = drop_geometry(drops, bank.raw.shape[1:], (W, H),
+                         focal_m=6e-3, f_number=6.0, focus_plane=6.0,
+                         coc_pixsize=4.65e-6, apply_defocus=True)
+
+    def support(cfg):
+        out = rasterize_frame_drops(
+            drops, geom, bank.raw, tex_idx, (W, H), cfg,
+            apply_defocus=True, fourier=(bank.ay, bank.bx))
+        return sum(int((np.asarray(b.patches) > 0.02).sum())
+                   for b in out)
+
+    s_on = support(raster)
+    s_off = support(dataclasses.replace(raster, modal_blur=False))
+    assert s_off > 1.08 * s_on, (s_on, s_off)
+
+
 def test_full_frame_fourier_vs_gather():
     W, H, cap = 128, 64, 64
     db = procedural_streak_database()

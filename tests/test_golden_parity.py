@@ -106,7 +106,7 @@ def test_full_frame_parity(scene, monkeypatch):
     union = (gm | rm).sum()
     iou = (gm & rm).sum() / union if union else 1.0
     assert union > 100, "scene must contain visible rain"
-    assert iou >= 0.8, f"mask IoU {iou:.3f}"
+    assert iou >= 0.9, f"mask IoU {iou:.3f}"  # round 4: 0.97
 
     k = np.ones((3, 3), np.uint8)
     gd = cv2.dilate(gm.astype(np.uint8), k) > 0
@@ -259,8 +259,8 @@ def test_parity_big_drop_warp():
     m = _parity_metrics(bg, depth, rec)
     print("big-drop parity:", m)
     assert m["rain_px"] > 200
-    assert m["iou"] >= 0.75, m        # measured 0.792
-    assert m["iou_tol"] >= 0.98, m    # measured 0.991
+    assert m["iou"] >= 0.84, m        # round 4 measured 0.887
+    assert m["iou_tol"] >= 0.99, m    # measured 1.0
     assert m["corr"] >= 0.95, m
     assert m["img_diff"] < 0.02, m
     assert 0.6 < m["mass"] < 1.5, m
@@ -281,8 +281,8 @@ def test_parity_heavy_defocus():
     m = _parity_metrics(bg, depth, rec)
     print("heavy-defocus parity:", m)
     assert m["rain_px"] > 200
-    assert m["iou"] >= 0.85, m        # measured 0.938
-    assert m["iou_tol"] >= 0.98, m    # measured 1.0
+    assert m["iou"] >= 0.95, m        # round 4 measured 0.990
+    assert m["iou_tol"] >= 0.99, m    # measured 1.0
     assert m["corr"] >= 0.95, m
     assert m["img_diff"] < 0.02, m
 
@@ -294,7 +294,7 @@ def test_parity_strategies(scene, strategy):
     m = _parity_metrics(bg, depth, rec, rendering_strategy=strategy)
     print(f"{strategy} parity:", m)
     assert m["rain_px"] > 100
-    assert m["iou"] >= 0.8, m         # measured 0.853
-    assert m["iou_tol"] >= 0.98, m    # measured 1.0
+    assert m["iou"] >= 0.9, m         # round 4 measured 0.963
+    assert m["iou_tol"] >= 0.99, m    # measured 1.0
     assert m["corr"] >= 0.95, m
     assert m["img_diff"] < 0.03, m

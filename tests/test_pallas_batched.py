@@ -184,6 +184,7 @@ def test_fused_kernel_overlap_chain():
     must equal the plain sum over drops."""
     from raintpu.ops.pallas.fused_kernel import (N_PARAMS, P_ADDB,
                                                  P_ADDG, P_ADDR, P_LO,
+                                                 P_UU, P_VU,
                                                  fused_raster_composite,
                                                  plan_window)
 
@@ -216,6 +217,11 @@ def test_fused_kernel_overlap_chain():
             params[b, P_ADDR, c] = 0.1 * (c + 1)
             params[b, P_ADDG, c] = 0.05
             params[b, P_ADDB, c] = 0.02
+            # Content band (UL, UU, VL, VU) — full texture rect (the
+            # canvas-clip rows only tighten for image-clipped Big
+            # drops, ops.rasterize._tex_band).
+            params[b, P_UU, c] = 1.0
+            params[b, P_VU, c] = 1.0
             anchor[b, c, 0] = int(params[b, 9, c])
             anchor[b, c, 1] = int(params[b, 10, c])
     rng = np.random.RandomState(3)

@@ -345,11 +345,13 @@ def test_raintpu_matches_reference_code(reference_render, scene,
     m = _mask_metrics(got_mask, ref_mask, got_img, ref_img)
     print("raintpu vs reference-code:", m)
     assert m["rain_px"] > 100
-    assert m["iou"] >= 0.75, m
-    assert m["iou_tol"] >= 0.98, m
-    assert m["corr"] >= 0.95, m
-    assert m["img_diff"] < 0.02, m
-    assert 0.7 < m["mass"] < 1.4, m
+    # Round-4 bars (canvas-clip band + modal blur): measured base
+    # 0.968 / close 0.940 strict, both 1.0 tolerant, mass within 0.2%.
+    assert m["iou"] >= 0.92, m
+    assert m["iou_tol"] >= 0.995, m
+    assert m["corr"] >= 0.99, m
+    assert m["img_diff"] < 0.01, m
+    assert 0.95 < m["mass"] < 1.05, m
     assert np.abs(got_sat - ref_sat).mean() < 0.02
 
     # Strict-IoU decomposition (round-3 registration scan, BASELINE.md):
@@ -357,14 +359,11 @@ def test_raintpu_matches_reference_code(reference_render, scene,
     # disagreement is confined to the 1-px edge band (sub-pixel AA
     # rounding on 1-2 px streak perimeters). Pin the INTERIOR
     # disagreement: a registration or shape regression shows up here
-    # immediately, where the scalar IoU would only drift. Measured
-    # residuals with the texture-rect window model: base scene 1 px,
-    # close scene 6 px of which 3 straddle the 0.03 threshold by
-    # <= 0.003 and 3 sit in a big perspective drop's dim blur skirt
-    # (|got - ref| <= 0.023 — the analytic window uses the center
-    # Jacobian; the skirt of a strongly projective warp bends away
-    # from it). No interior pixel may be MATERIALLY wrong (off by more
-    # than the mask threshold itself).
+    # immediately, where the scalar IoU would only drift. Round 4
+    # (canvas-clip band + modal blur) reduced the measured residual to
+    # ZERO interior px on both scenes (was 1 base / 6 close); budget 2
+    # allows threshold-straddle dust, and no interior pixel may be
+    # MATERIALLY wrong (off by more than the mask threshold itself).
     import cv2
 
     k = np.ones((3, 3), np.uint8)
@@ -374,7 +373,7 @@ def test_raintpu_matches_reference_code(reference_render, scene,
     interior = (gm & ~rm & ~rd) | (rm & ~gm & ~gd)
     n_interior = int(interior.sum())
     strong = interior & (np.abs(got_mask - ref_mask) > 0.03)
-    assert n_interior <= 8, f"{n_interior} interior-disagreement px"
+    assert n_interior <= 2, f"{n_interior} interior-disagreement px"
     assert strong.sum() == 0, \
         (f"{strong.sum()} materially-wrong interior px "
          f"(max |diff| {np.abs(got_mask - ref_mask)[interior].max():.4f})")
