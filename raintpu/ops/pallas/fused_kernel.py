@@ -478,8 +478,9 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                     # each half's x/y origins are its OWN strip/row
                     # offsets, so the stash halves are exactly what
                     # the two per-drop evals would have produced.
-                    half = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, LANE), 1) < (LANE // 2)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, LANE), 1)
+                    half = lane < (LANE // 2)
 
                     @pl.when((c % 2) == 0)   # body is valid-gated already
                     def _():
@@ -512,7 +513,11 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                             prmv, cyv, cxv, ox, oy, r_ranks, modes_y,
                             modes_x, th, tw, the, LANE)
 
-                    keep = jnp.where((c % 2) == 0, half, ~half)
+                    # Own half's lanes: [0, 64) on even steps, [64, 128)
+                    # on odd. Computed as an int comparison — Mosaic
+                    # cannot legalize arith.select on i1 vectors
+                    # (jnp.where(cond, half, ~half) fails to compile).
+                    keep = (lane // (LANE // 2)) == (c % 2)
                     g = jnp.where(keep, stash[...], 0.0)
                     # Own half's placement start: half 0's content
                     # begins at eval lane 0 (start s); half 1's at
