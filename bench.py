@@ -37,8 +37,9 @@ A/B env knobs (replacing the retired _bench_dtype.py):
   BATCH, ITERS, HW ("375x1242"), FALLRATE, CAPACITY — workload shape
   FIELDS_DTYPE (float32|bfloat16), ROW_STRIP=0, PAIR=0 — kernel levers
   MODAL=0 — disable the modal-blur prep transform (RasterConfig.modal_blur)
-  CDS=4 — cone_downsample for the per-drop cone photometry (1 = exact;
-          4 is 16x cheaper with 1.6e-3 end-to-end effect, BASELINE.md)
+  CDS=1 — cone_downsample for the per-drop cone photometry (default 4,
+          the production setting: measured +21% honest throughput on
+          v5e with 1.6e-3 end-to-end effect; 1 = exact for A/B)
   FITTED=1 — replace the hand ladder with ops.rasterize.fit_raster_config
   BENCH_BACKEND_RETRY_S — backend poll budget (default 600 s)
 """
@@ -108,7 +109,7 @@ def main():
                          pair_eval=want_pair, row_strip=want_row_strip,
                          fields_dtype=os.environ.get("FIELDS_DTYPE",
                                                      "float32"),
-                         cone_downsample=int(os.environ.get("CDS", "1")))
+                         cone_downsample=int(os.environ.get("CDS", "4")))
     # Value-gate the kernel modes on hardware (shared gate, once per
     # process); the JSON line below discloses what actually ran.
     cfg = resolve_kernel_modes(cfg)
@@ -220,6 +221,7 @@ def main():
         "row_strip": cfg.row_strip,
         "fields_dtype": cfg.fields_dtype,
         "modal_blur": cfg.raster.modal_blur,
+        "cone_downsample": cfg.cone_downsample,
         "fallback_fired": fallback_fired,
         "mode_gate": mode_gate_report(),
         "ladder": [[b.ph, b.pw, b.radius, b.capacity]

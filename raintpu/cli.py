@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Bucket ladder: 'fitted' measures the weather's "
                         "drop population and fits the ladder to it "
                         "(~1.5x faster kernels than the fixed ladder)")
+    p.add_argument("--cone_downsample", type=int, default=4,
+                   help="Block-reduction of the cone-photometry envmap "
+                        "features. 4 (default) is +21%% fresh-frame "
+                        "throughput with max rain-pixel effect 1.6e-3 "
+                        "(19x under the parity bar); 1 = exact")
     return p
 
 
@@ -232,7 +237,8 @@ def main(argv=None) -> int:
         opacity_attenuation=a.opacity_attenuation, verbose=a.verbose,
         batch_size=a.batch_size, drop_capacity=a.drop_capacity,
         seed=a.seed,
-        raster_profile=getattr(a, "raster_profile", "default"))
+        raster_profile=getattr(a, "raster_profile", "default"),
+        cone_downsample=getattr(a, "cone_downsample", 4))
     job = Job(spec)
     if a.online and a.export_xml:
         job.export_xml = True

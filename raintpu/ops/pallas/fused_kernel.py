@@ -201,13 +201,14 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
     lands in tile 1). This skips the old pad-to-pw2 + 256-wide roll
     (~1.5 full-window passes per drop).
 
-    For bf16 planes the cast happens BEFORE the pads + rolls (halves
-    the relayout bytes too)."""
+    For bf16 planes the cast happens AFTER the pads + rolls: Mosaic's
+    tpu.dynamic_rotate is 32-bit-only (measured on v5e: "Rotate with
+    non-32-bit data" is not implemented), so the rolls run in f32 and
+    the narrowing cast lands just before the accumulate."""
     assert pw2 == 2 * LANE, pw2   # strip windows always plan 2 tiles
     the = g.shape[0]
     dtype = scr_bank.dtype
     contribs = jnp.stack(_plane_contribs(g, prm, n_planes))
-    contribs = contribs.astype(dtype)
     if the < tile_h:
         contribs = jnp.pad(contribs,
                            ((0, 0), (0, tile_h - the), (0, 0)))
@@ -218,7 +219,7 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
     # can start up to 64 lanes left of the window; those wrap lanes
     # are its zeroed other half). jnp.mod keeps the roll nonnegative.
     rolled = pltpu.roll(flat, jnp.mod(s, LANE),
-                        1).reshape(n_planes, tile_h, LANE)
+                        1).reshape(n_planes, tile_h, LANE).astype(dtype)
     j = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     for i in range(n_planes):
         scr_bank[i, :, 0:LANE] = (

@@ -511,7 +511,8 @@ def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
 _MODE_GATE: dict = {}
 
 
-def resolve_kernel_modes(cfg: PipelineConfig) -> PipelineConfig:
+def resolve_kernel_modes(cfg: PipelineConfig,
+                         _floor_check: bool = False) -> PipelineConfig:
     """Value-gate the pair/row-strip kernel modes on real hardware.
 
     The round-3 pair-eval and row-strip modes are interpret/oracle
@@ -524,14 +525,21 @@ def resolve_kernel_modes(cfg: PipelineConfig) -> PipelineConfig:
     Non-TPU backends run the interpret path and are exact by
     construction. Production entry points (RenderJob, bench.py) call
     this once per config before rendering.
+
+    On divergence (value mismatch OR compile failure — e.g. Mosaic's
+    32-bit-only dynamic_rotate rejecting a dtype) the config degrades
+    one step at a time, each step gated the same way: modes off first,
+    then fields_dtype back to float32. The plain-strip float32 kernel
+    is the proven floor; if even that diverges, raise — nothing on the
+    backend is trustworthy.
     """
-    if not (cfg.pair_eval or cfg.row_strip):
-        return cfg
     if cfg.resolved_composite_mode() != "fused":
         return cfg
     if jax.default_backend() != "tpu":
         return cfg
     key = (cfg.pair_eval, cfg.row_strip, cfg.fields_dtype)
+    if key == (False, False, "float32") and not _floor_check:
+        return cfg  # the proven floor — gated only via degradation
     rec = _MODE_GATE.get(key)
     if rec is None:
         from raintpu.tools.tpu_selfcheck import kernel_modes_ok
@@ -540,21 +548,30 @@ def resolve_kernel_modes(cfg: PipelineConfig) -> PipelineConfig:
             err = None
         except Exception as e:  # compile/runtime failure = mode unusable
             ok, err = False, f"{type(e).__name__}: {e}"
-        if not ok:
-            from raintpu.utils.logging import print_warning
-            print_warning(
-                "kernel modes pair_eval=%s row_strip=%s diverged from "
-                "interpret on this backend (%s); falling back to the "
-                "plain-strip kernel" % (key[0], key[1],
-                                        err or "value mismatch"))
-            assert kernel_modes_ok(False, False, cfg.fields_dtype), (
-                "even the plain-strip fallback kernel diverges from "
-                "interpret — nothing on this backend is trustworthy")
         rec = {"ok": ok, "error": err}
         _MODE_GATE[key] = rec
     if rec["ok"]:
         return cfg
-    return dataclasses.replace(cfg, pair_eval=False, row_strip=False)
+    from raintpu.utils.logging import print_warning
+    if cfg.pair_eval or cfg.row_strip:
+        print_warning(
+            "kernel modes pair_eval=%s row_strip=%s dtype=%s diverged "
+            "from interpret on this backend (%s); falling back to the "
+            "plain-strip kernel" % (key[0], key[1], key[2],
+                                    rec["error"] or "value mismatch"))
+        return resolve_kernel_modes(dataclasses.replace(
+            cfg, pair_eval=False, row_strip=False), _floor_check=True)
+    if cfg.fields_dtype != "float32":
+        print_warning(
+            "fields_dtype=%s is unusable on this backend (%s); falling "
+            "back to float32" % (cfg.fields_dtype,
+                                 rec["error"] or "value mismatch"))
+        return resolve_kernel_modes(
+            dataclasses.replace(cfg, fields_dtype="float32"),
+            _floor_check=True)
+    raise AssertionError(
+        "even the plain-strip float32 fallback kernel diverges from "
+        "interpret — nothing on this backend is trustworthy")
 
 
 def mode_gate_report() -> dict:

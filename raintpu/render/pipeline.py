@@ -81,6 +81,12 @@ class JobSpec:
     #   round-3 headline win, ~1.5x over the hand ladder);
     # tiny: minimal buckets for tests/smoke runs.
     raster_profile: str = "default"   # default | fitted | tiny
+    # Block-reduction of the cone-photometry envmap features
+    # (PipelineConfig.cone_downsample). 4 is the production default:
+    # measured +21% fresh-frame throughput on v5e (BENCH A/B, round 4)
+    # with max rain-pixel image effect 1.6e-3 — 19x under the 0.03
+    # parity interior bar. 1 = exact (the A/B/debug setting).
+    cone_downsample: int = 4
 
 
 class RenderJob:
@@ -262,7 +268,8 @@ class RenderJob:
                         settings=rsettings, image_hw=tuple(hw),
                         fallrate=float(fallrate), raster=raster,
                         env_downsample=8, save_envmap=s.save_envmap,
-                        compute_saturation_mask=s.save_saturation)
+                        compute_saturation_mask=s.save_saturation,
+                        cone_downsample=s.cone_downsample)
                 elif s.raster_profile == "fitted":
                     # Fit the bucket ladder to this weather's measured
                     # drop population (sampled from the drop source
@@ -278,13 +285,15 @@ class RenderJob:
                         settings=rsettings, image_hw=tuple(hw),
                         fallrate=float(fallrate), raster=raster,
                         save_envmap=s.save_envmap,
-                        compute_saturation_mask=s.save_saturation)
+                        compute_saturation_mask=s.save_saturation,
+                        cone_downsample=s.cone_downsample)
                 else:
                     cfg = PipelineConfig.build(
                         rsettings, hw, fallrate,
                         drop_capacity=s.drop_capacity,
                         save_envmap=s.save_envmap,
-                        compute_saturation_mask=s.save_saturation)
+                        compute_saturation_mask=s.save_saturation,
+                        cone_downsample=s.cone_downsample)
                 # Value-gate the pair/row-strip kernel modes on real
                 # hardware (once per process) so a Mosaic divergence
                 # falls back to the proven kernel instead of silently

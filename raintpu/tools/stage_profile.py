@@ -89,7 +89,9 @@ def main(argv=None):
                          fields_dtype=os.environ.get("FIELDS_DTYPE",
                                                      "float32"),
                          row_strip=os.environ.get("ROW_STRIP",
-                                                  "1") == "1")
+                                                  "1") == "1",
+                         cone_downsample=int(os.environ.get("CDS",
+                                                            "4")))
 
     sim_cfg = SimConfig.from_settings(settings, capacity=512)
     drops = simulate_frames(
@@ -107,6 +109,36 @@ def main(argv=None):
     db = procedural_streak_database()
     tex = texture_bank(db)
     edges = jnp.asarray(db.bin_edges)
+
+    from raintpu.ops import envmap as envmap_ops
+    from raintpu.ops import fog as fog_ops
+    from raintpu.render.frame import _avg_pool_rgb
+
+    cam = settings.camera
+
+    def stage_fog(keys, bg, depth, drops, tex, edges):
+        # bg sub-stage 1: fog only (attenuation + airlight + blur).
+        out = jax.vmap(lambda b, d: fog_ops.fog_rain_layer(
+            b, d, rain_intensity=cfg.fallrate, f_number=cam.f_number,
+            exposure_s=cam.exposure_s, camera_gain=cam.gain))(bg, depth)
+        return _tree_sum(out)
+
+    def stage_envmap(keys, bg, depth, drops, tex, edges):
+        # bg sub-stage 2: fog + pooled photometry-res envmap — i.e.
+        # everything frame_background does; envmap cost = this - fog.
+        H_, W_ = cfg.image_hw
+        ds = max(int(cfg.env_downsample), 1)
+        geom_lo = envmap_ops.envmap_geometry(H_ // ds, W_ // ds,
+                                             cam.focal)
+
+        def one(b, d):
+            fogged = fog_ops.fog_rain_layer(
+                b, d, rain_intensity=cfg.fallrate,
+                f_number=cam.f_number, exposure_s=cam.exposure_s,
+                camera_gain=cam.gain)
+            return envmap_ops.generate_envmap(
+                _avg_pool_rgb(fogged, ds), geom_lo), fogged
+        return _tree_sum(jax.vmap(one)(bg, depth))
 
     def stage_bg(keys, bg, depth, drops, tex, edges):
         out = jax.vmap(lambda b, d: frame_background(b, d, cfg))(bg,
@@ -132,7 +164,8 @@ def main(argv=None):
         out = render_frames(bg, depth, drops, tex, edges, keys, cfg)
         return _tree_sum(out)
 
-    stages = [("bg", stage_bg), ("prep", stage_prep),
+    stages = [("fog", stage_fog), ("fog+envmap", stage_envmap),
+              ("bg", stage_bg), ("prep", stage_prep),
               ("fields", stage_fields), ("full", stage_full)]
 
     data = (keys, bg, depth, drops, tex, edges)
@@ -170,6 +203,9 @@ def main(argv=None):
                   f"({B / (ms / 1000.0):7.1f} img/s)")
 
     deltas = {
+        "fog": results["fog"],
+        "envmap (fog+envmap-fog)": results["fog+envmap"]
+                                   - results["fog"],
         "bg": results["bg"],
         "prep-bg": results["prep"] - results["bg"],
         "kernel (fields-prep)": results["fields"] - results["prep"],

@@ -96,6 +96,48 @@ def test_resolve_kernel_modes_downgrades_on_divergence(monkeypatch):
     assert (out2.pair_eval, out2.row_strip) == (False, False)
 
 
+def test_resolve_kernel_modes_degrades_dtype(monkeypatch):
+    # Measured on v5e: Mosaic's dynamic_rotate is 32-bit-only, so
+    # bf16 fields fail to COMPILE in every strip-mode kernel. The
+    # gate must degrade modes first, then the dtype, and disclose both.
+    import jax
+
+    from raintpu.render import frame as frame_mod
+    from raintpu.tools import tpu_selfcheck
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def fake_check(pair, row_strip, fields_dtype="float32"):
+        if fields_dtype == "bfloat16":
+            raise RuntimeError("Rotate with non-32-bit data")
+        return True
+
+    monkeypatch.setattr(tpu_selfcheck, "kernel_modes_ok", fake_check)
+    monkeypatch.setattr(frame_mod, "_MODE_GATE", {})
+    cfg = _cfg(pair_eval=True, row_strip=True, fields_dtype="bfloat16")
+    out = frame_mod.resolve_kernel_modes(cfg)
+    assert out.fields_dtype == "float32"
+    assert (out.pair_eval, out.row_strip) == (False, False)
+    report = frame_mod.mode_gate_report()
+    assert any("Rotate" in (v["error"] or "") for v in report.values())
+
+
+def test_resolve_kernel_modes_floor_failure_raises(monkeypatch):
+    import jax
+    import pytest
+
+    from raintpu.render import frame as frame_mod
+    from raintpu.tools import tpu_selfcheck
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(tpu_selfcheck, "kernel_modes_ok",
+                        lambda *a, **k: False)
+    monkeypatch.setattr(frame_mod, "_MODE_GATE", {})
+    cfg = _cfg(pair_eval=True, row_strip=True)
+    with pytest.raises(AssertionError):
+        frame_mod.resolve_kernel_modes(cfg)
+
+
 def test_resolve_kernel_modes_keeps_good_modes(monkeypatch):
     import jax
 

@@ -421,3 +421,41 @@ def test_fitted_raster_profile(toy, tmp_path):
         "000001.png"))).astype(float)
     # Different ladders (and supersample) change only sub-pixel AA.
     assert np.abs(fitted - base).mean() < 3.0   # uint8 levels
+
+
+def test_cone_downsample_parity():
+    """cone_downsample=4 (the production default, +21% fresh-frame
+    throughput measured on v5e) must stay visually identical to the
+    exact cone: the block-reduced features preserve solid-angle
+    integrals, so the end-to-end rain-pixel effect is ~1.6e-3 at full
+    KITTI res (BASELINE.md) — pinned here at a small scene well under
+    the 0.03 parity interior bar."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from raintpu.render.frame import render_frames
+    from raintpu.tools.tpu_selfcheck import build_scene
+
+    cfg, (bg, depth, drops, tex, edges, keys) = build_scene()
+    out1 = jax.jit(render_frames, static_argnames="cfg")(
+        bg, depth, drops, tex, edges, keys, cfg)
+    cfg4 = dataclasses.replace(cfg, cone_downsample=4)
+    out4 = jax.jit(render_frames, static_argnames="cfg")(
+        bg, depth, drops, tex, edges, keys, cfg4)
+
+    m1 = float(jnp.sum(out1.rain_mask))
+    assert m1 > 1.0
+    img_diff = float(jnp.max(jnp.abs(out1.rainy_image
+                                     - out4.rainy_image)))
+    mask_inter = float(jnp.sum(jnp.minimum(out1.rain_mask > 0,
+                                           out4.rain_mask > 0)))
+    mask_union = float(jnp.sum(jnp.maximum(out1.rain_mask > 0,
+                                           out4.rain_mask > 0)))
+    # This scene is tiny (96x256 with env_downsample=4 underneath), so
+    # cds=4's relative coarseness is amplified vs full KITTI res
+    # (measured ~0.012 here vs 1.6e-3 there) — both under the 0.03
+    # reference-parity interior bar this knob is held to.
+    assert img_diff < 0.02, img_diff
+    assert mask_inter / mask_union > 0.995

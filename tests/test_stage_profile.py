@@ -13,5 +13,6 @@ def test_stage_profile_smoke(capsys):
           "--hw", "96", "160", "--capacity", "64", "--json"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
-    assert set(rec["ms_per_step"]) == {"bg", "prep", "fields", "full"}
+    assert set(rec["ms_per_step"]) == {"fog", "fog+envmap", "bg",
+                                       "prep", "fields", "full"}
     assert all(v > 0 for v in rec["ms_per_step"].values())
