@@ -89,6 +89,10 @@ def _common(B, W, H, fallrate, capacity=None, settings=None, **cfg_kw):
     if settings is None:
         settings = RenderSettings(camera=CameraSettings(
             wh=(W, H), ccd_wh=(W, H)))
+    # Production cone photometry setting (cds=4: +21% fresh-frame on
+    # v5e, end-to-end effect 1.6e-3 — see BASELINE.md round 4).
+    # CDS=1 restores the exact cone for A/Bs, as on bench.py.
+    cfg_kw.setdefault("cone_downsample", int(os.environ.get("CDS", "4")))
     from raintpu.particles.schema import compact_drop_batch
 
     if capacity is None:
@@ -122,9 +126,10 @@ def _common(B, W, H, fallrate, capacity=None, settings=None, **cfg_kw):
     from raintpu.ops.rasterize import fit_raster_config
     raster = fit_raster_config(drops, bank.raw.shape[1:], (W, H),
                                settings)
-    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
-                         fallrate=float(fallrate),
-                         raster=raster, **cfg_kw)
+    from raintpu.render.frame import resolve_kernel_modes
+    cfg = resolve_kernel_modes(PipelineConfig(
+        settings=settings, image_hw=(H, W), fallrate=float(fallrate),
+        raster=raster, **cfg_kw))
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
@@ -257,8 +262,11 @@ def bench_nuscenes_6cam():
     bank = texture_bank(db)
     raster = fit_raster_config(drops, bank.raw.shape[1:], (W, H),
                                settings)
-    cfg = PipelineConfig(settings=settings, image_hw=(H, W),
-                         fallrate=fallrate, raster=raster)
+    from raintpu.render.frame import resolve_kernel_modes
+    cfg = resolve_kernel_modes(PipelineConfig(
+        settings=settings, image_hw=(H, W), fallrate=fallrate,
+        raster=raster,
+        cone_downsample=int(os.environ.get("CDS", "4"))))
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
     depth = jnp.asarray((rng.rand(B, H, W) * 60 + 3).astype(np.float32))
