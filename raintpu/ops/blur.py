@@ -80,12 +80,17 @@ def _block_band_matrix(kernel_key, kernel: np.ndarray,
     return B
 
 
-def _blocked_axis_blur(img: jnp.ndarray, kernel_key,
-                       kernel: np.ndarray) -> jnp.ndarray:
-    """Blur the LEADING axis of (n, ...) with overlapping block slabs
-    (REFLECT_101 borders). MXU cost is ~max(2r+1, 128) MACs per output
-    element instead of the dense path's n."""
-    n = img.shape[0]
+def _blocked_axis_blur(x: jnp.ndarray, kernel_key, kernel: np.ndarray,
+                       axis: int) -> jnp.ndarray:
+    """Blur ``axis`` (-1 or -2) of (..., H, W) with overlapping block
+    slabs (REFLECT_101 borders). MXU cost is ~max(2r+1, 128) MACs per
+    output element instead of the dense path's n — and the contraction
+    runs over the (8,128)-tiled trailing dims, so lanes stay full no
+    matter how few channels the caller has (the round-4 fog finding:
+    channels-LAST blurs put C=4 in the lane dim and ran ~5x off
+    roofline)."""
+    assert axis in (-1, -2), axis
+    n = x.shape[axis]
     ksize = kernel.shape[0]
     r = (ksize - 1) // 2
     # Pick block so the slab depth (block + 2r) is the next multiple of
@@ -93,62 +98,86 @@ def _blocked_axis_blur(img: jnp.ndarray, kernel_key,
     depth = -(-(2 * r + 1) // 128) * 128
     block = depth - 2 * r
     nb = -(-n // block)
+    ax = x.ndim + axis
 
     # REFLECT_101 on the real borders, zero-pad to whole blocks (the
     # padded tail is cropped from the output).
-    top = img[1:r + 1][::-1]
-    bot = img[n - r - 1:n - 1][::-1]
-    pad_tail = nb * block - n
-    tail_zeros = jnp.zeros((pad_tail,) + img.shape[1:], img.dtype)
-    x = jnp.concatenate([top, img, bot, tail_zeros], axis=0)
+    top = jax.lax.rev(jax.lax.slice_in_dim(x, 1, r + 1, axis=ax), (ax,))
+    bot = jax.lax.rev(jax.lax.slice_in_dim(x, n - r - 1, n - 1, axis=ax),
+                      (ax,))
+    zshape = list(x.shape)
+    zshape[ax] = nb * block - n
+    xp = jnp.concatenate([top, x, bot, jnp.zeros(zshape, x.dtype)],
+                         axis=ax)
 
-    slabs = jnp.stack([jax.lax.slice_in_dim(x, i * block,
-                                            i * block + depth, axis=0)
-                       for i in range(nb)])          # (nb, depth, ...)
+    slabs = jnp.stack([jax.lax.slice_in_dim(xp, i * block,
+                                            i * block + depth, axis=ax)
+                       for i in range(nb)])   # (nb, ..., depth[, W])
     B = jnp.asarray(_block_band_matrix(kernel_key, kernel, block),
-                    img.dtype)                       # (depth, block)
-    out = jnp.einsum("bk...,ko->bo...", slabs, B,
+                    x.dtype)                  # (depth, block)
+    if axis == -1:
+        out = jnp.einsum("s...k,ko->s...o", slabs, B,
+                         preferred_element_type=jnp.float32)
+        out = jnp.moveaxis(out, 0, -2)        # (..., nb, block)
+        return out.reshape(x.shape[:-1] + (nb * block,))[..., :n]
+    out = jnp.einsum("s...kw,ko->s...ow", slabs, B,
                      preferred_element_type=jnp.float32)
-    return out.reshape((nb * block,) + img.shape[1:])[:n]
+    out = jnp.moveaxis(out, 0, -3)            # (..., nb, block, W)
+    return out.reshape(x.shape[:-2]
+                       + (nb * block, x.shape[-1]))[..., :n, :]
+
+
+def _dense_axis_blur(x: jnp.ndarray, kernel_key, kernel: np.ndarray,
+                     axis: int) -> jnp.ndarray:
+    """Dense (n, n) band-matrix blur of ``axis`` (-1 or -2) — for short
+    axes, and the r >= n case where REFLECT_101 folds more than once."""
+    n = x.shape[axis]
+    K = jnp.asarray(_blur_matrix(n, kernel_key, kernel), x.dtype)
+    if axis == -1:
+        return jnp.einsum("...j,oj->...o", x, K,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("...jw,oj->...ow", x, K,
+                      preferred_element_type=jnp.float32)
+
+
+def _axis_blur(x, kernel_key, kernel, axis):
+    n = x.shape[axis]
+    r = (kernel.shape[0] - 1) // 2
+    if n >= _BLOCKED_BLUR_MIN_DIM and r < n:
+        return _blocked_axis_blur(x, kernel_key, kernel, axis)
+    return _dense_axis_blur(x, kernel_key, kernel, axis)
+
+
+def separable_blur_hw(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable blur of the last two axes of (..., H, W) with one
+    static 1-D kernel. REFLECT_101 borders (cv2 default).
+
+    This is the TPU-native layout: leading axes are batch/channel and
+    (H, W) are the tiled dims, so the banded matmuls contract full
+    (8,128) tiles. Callers with channels-last images should build the
+    blur input channel-major (see ops.fog) rather than blur (H, W, C)
+    with C in the lane dim.
+
+    Long axes use overlapping block slabs (linear cost — see
+    _blocked_axis_blur); short axes a dense (n, n) band matrix.
+    """
+    ksize = kernel.shape[0]
+    kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
+    out = _axis_blur(x, kernel_key, kernel, -2)
+    return _axis_blur(out, kernel_key, kernel, -1)
 
 
 def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """Separable blur of (H, W) or (H, W, C) with one static 1-D kernel.
+    """Separable blur of (H, W) or (H, W, C), REFLECT_101 borders.
 
-    Borders are REFLECT_101 (cv2 default). Implemented as banded
-    matmuls (exact; MXU) — small-channel depthwise convs run on the VPU
-    at a fraction of peak and dominated the fog pass. Long axes use
-    overlapping block slabs (see _blocked_axis_blur); short axes a
-    dense (n, n) band matrix.
-    """
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[..., None]
-    h, w, c = img.shape
-    ksize = kernel.shape[0]
-    r = (ksize - 1) // 2
-    kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
-
-    # Per-axis: block slabs for long axes (linear cost — no size cap
-    # needed; the old depthwise-conv fallback for >2048-px axes ran on
-    # the VPU at a fraction of peak), dense band matrix for short ones
-    # (also the r >= n case, where REFLECT_101 folds more than once).
-    if h >= _BLOCKED_BLUR_MIN_DIM and r < h:
-        out = _blocked_axis_blur(img, kernel_key, kernel)
-    else:
-        kh = jnp.asarray(_blur_matrix(h, kernel_key, kernel),
-                         img.dtype)
-        out = jnp.einsum("ij,jwc->iwc", kh, img,
-                         preferred_element_type=jnp.float32)
-    if w >= _BLOCKED_BLUR_MIN_DIM and r < w:
-        out = _blocked_axis_blur(out.transpose(1, 0, 2), kernel_key,
-                                 kernel).transpose(1, 0, 2)
-    else:
-        kw = jnp.asarray(_blur_matrix(w, kernel_key, kernel),
-                         img.dtype)
-        out = jnp.einsum("hjc,wj->hwc", out, kw,
-                         preferred_element_type=jnp.float32)
-    return out[..., 0] if squeeze else out
+    Channels-last convenience wrapper over :func:`separable_blur_hw`
+    (transposes to channel-major and back — fine for small maps like
+    the envmap feather; hot full-res paths should call the _hw form on
+    channel-major data directly)."""
+    if img.ndim == 2:
+        return separable_blur_hw(img, kernel)
+    return jnp.moveaxis(
+        separable_blur_hw(jnp.moveaxis(img, -1, 0), kernel), 0, -1)
 
 
 def _band_matrix(sigma: jnp.ndarray, size: int, radius: int) -> jnp.ndarray:

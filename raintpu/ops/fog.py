@@ -22,7 +22,7 @@ import math
 
 import jax.numpy as jnp
 
-from raintpu.ops.blur import cv2_gaussian_kernel, separable_blur
+from raintpu.ops.blur import cv2_gaussian_kernel, separable_blur_hw
 
 HG_G = 0.97                     # Henyey-Greenstein asymmetry (reference :58)
 FOG_BLUR_KSIZE = 25             # reference add_attenuation.py:79
@@ -55,21 +55,26 @@ def fog_rain_layer(image: jnp.ndarray,
     reference instantiates FogRain once per weather, ``generator.py:272``).
     """
     b_ext = beta_ext(rain_intensity)
-    f_ext = jnp.exp((-b_ext) * (depth / 1000.0))[..., None]  # (H, W, 1)
+    f_ext = jnp.exp((-b_ext) * (depth / 1000.0))           # (H, W)
 
     irr = (4.0 * f_number ** 2 * image) / (exposure_s * camera_gain * math.pi)
     irr_mean = jnp.mean(irr.reshape(-1, 3), axis=0)  # (3,)
 
-    l_in = beta_hg(angle_deg) * irr_mean * (1.0 - f_ext)
-    l_in = jnp.clip(l_in, 0.0, 1.0)
+    c = beta_hg(angle_deg) * irr_mean                # (3,)
+    l_in = jnp.clip(c[:, None, None] * (1.0 - f_ext)[None], 0.0, 1.0)
 
     kernel = cv2_gaussian_kernel(FOG_BLUR_KSIZE, FOG_BLUR_SIGMA)
     # One 4-channel blur: [f_ext, l_in_rgb]. The reference blurs a
     # 3-channel broadcast of f_ext (add_attenuation.py:79) — blurring
     # the same channel three times; one channel is bit-equivalent.
-    stacked = jnp.concatenate([f_ext, l_in], axis=-1)
-    blurred = separable_blur(stacked, kernel)
-    f_ext_b = blurred[..., :1]
-    l_in_b = blurred[..., 1:]
+    # CHANNEL-MAJOR (4, H, W): the blur matmuls contract over the
+    # (8,128)-tiled image dims. The previous channels-last (H, W, 4)
+    # stack put C=4 in the lane dim — 4/128 lane occupancy on every
+    # blur operand, measured ~5x off roofline on v5e (fog was 40% of
+    # the honest step).
+    stacked = jnp.concatenate([f_ext[None], l_in], axis=0)
+    blurred = separable_blur_hw(stacked, kernel)
+    f_ext_b = blurred[0]                              # (H, W)
+    l_in_b = jnp.moveaxis(blurred[1:], 0, -1)         # (H, W, 3)
 
-    return jnp.clip(image * f_ext_b + l_in_b, 0.0, 1.0)
+    return jnp.clip(image * f_ext_b[..., None] + l_in_b, 0.0, 1.0)

@@ -75,3 +75,19 @@ def test_separable_blur_wide_axis_matches_cv2(rng):
     got = np.asarray(separable_blur(jnp.asarray(img), k))
     want = cv2.GaussianBlur(img, (15, 15), 2.6)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_separable_blur_hw_batched_matches_cv2(rng):
+    # The channel-major form (..., H, W) — the hot fog layout: leading
+    # batch/channel dims, blur over the tiled trailing dims. Pinned to
+    # cv2 per slice, KITTI-shaped (H=375 blocked, W=1242 blocked).
+    from raintpu.ops.blur import separable_blur_hw
+
+    x = rng.rand(2, 4, 375, 310).astype(np.float32)
+    k = cv2_gaussian_kernel(25, 25.0)
+    got = np.asarray(separable_blur_hw(jnp.asarray(x), k))
+    for b in range(2):
+        for c in range(4):
+            want = cv2.GaussianBlur(x[b, c], (25, 25), 25.0)
+            np.testing.assert_allclose(got[b, c], want, atol=2e-5,
+                                       err_msg=f"b={b} c={c}")
