@@ -48,33 +48,51 @@ def fog_rain_layer(image: jnp.ndarray,
                    f_number: float,
                    exposure_s: float,
                    camera_gain: float,
-                   angle_deg: float = 90.0) -> jnp.ndarray:
-    """Apply fog-like rain attenuation. image (H,W,3) [0,1]; depth (H,W) m.
+                   angle_deg: float = 90.0,
+                   use_pallas_blur: bool = False) -> jnp.ndarray:
+    """Apply fog-like rain attenuation. image (..., H, W, 3) [0,1];
+    depth (..., H, W) m — leading batch dims are handled natively (the
+    mean-irradiance reduction is per frame).
 
     Static parameters are Python floats (baked at trace time, as the
     reference instantiates FogRain once per weather, ``generator.py:272``).
+
+    ``use_pallas_blur``: run the 25-tap blur through the fused Pallas
+    stencil kernel (ops.pallas.blur_kernel) — the production TPU path
+    (the XLA banded-matmul blur is HBM-bound on its own intermediates:
+    11.8 of the 13.4 ms fog stage at the round-4 headline config).
+    Only valid OUTSIDE vmap (the caller flattens batch dims here); the
+    kernel is value-identical to the XLA path up to fp reassociation
+    (~1e-7), interpret-tested and hardware-value-gated.
     """
     b_ext = beta_ext(rain_intensity)
-    f_ext = jnp.exp((-b_ext) * (depth / 1000.0))           # (H, W)
+    f_ext = jnp.exp((-b_ext) * (depth / 1000.0))           # (..., H, W)
 
     irr = (4.0 * f_number ** 2 * image) / (exposure_s * camera_gain * math.pi)
-    irr_mean = jnp.mean(irr.reshape(-1, 3), axis=0)  # (3,)
+    irr_mean = jnp.mean(irr, axis=(-3, -2))                # (..., 3)
 
-    c = beta_hg(angle_deg) * irr_mean                # (3,)
-    l_in = jnp.clip(c[:, None, None] * (1.0 - f_ext)[None], 0.0, 1.0)
+    c = beta_hg(angle_deg) * irr_mean                      # (..., 3)
+    l_in = jnp.clip(c[..., :, None, None]
+                    * (1.0 - f_ext)[..., None, :, :], 0.0, 1.0)
 
     kernel = cv2_gaussian_kernel(FOG_BLUR_KSIZE, FOG_BLUR_SIGMA)
     # One 4-channel blur: [f_ext, l_in_rgb]. The reference blurs a
     # 3-channel broadcast of f_ext (add_attenuation.py:79) — blurring
     # the same channel three times; one channel is bit-equivalent.
-    # CHANNEL-MAJOR (4, H, W): the blur matmuls contract over the
+    # CHANNEL-MAJOR (..., 4, H, W): the blur matmuls contract over the
     # (8,128)-tiled image dims. The previous channels-last (H, W, 4)
     # stack put C=4 in the lane dim — 4/128 lane occupancy on every
     # blur operand, measured ~5x off roofline on v5e (fog was 40% of
     # the honest step).
-    stacked = jnp.concatenate([f_ext[None], l_in], axis=0)
-    blurred = separable_blur_hw(stacked, kernel)
-    f_ext_b = blurred[0]                              # (H, W)
-    l_in_b = jnp.moveaxis(blurred[1:], 0, -1)         # (H, W, 3)
+    stacked = jnp.concatenate([f_ext[..., None, :, :], l_in], axis=-3)
+    if use_pallas_blur:
+        from raintpu.ops.pallas.blur_kernel import separable_blur_pallas
+        h, w = stacked.shape[-2:]
+        blurred = separable_blur_pallas(
+            stacked.reshape(-1, h, w), kernel).reshape(stacked.shape)
+    else:
+        blurred = separable_blur_hw(stacked, kernel)
+    f_ext_b = blurred[..., 0, :, :]                        # (..., H, W)
+    l_in_b = jnp.moveaxis(blurred[..., 1:, :, :], -3, -1)  # (..., H, W, 3)
 
     return jnp.clip(image * f_ext_b[..., None] + l_in_b, 0.0, 1.0)

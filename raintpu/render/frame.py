@@ -132,14 +132,52 @@ class FrameOutput:
     saturation_mask: Optional[jnp.ndarray] = None
 
 
+def batched_fog(bg: jnp.ndarray, depth: jnp.ndarray,
+                cfg: PipelineConfig,
+                interpret: bool = False) -> jnp.ndarray:
+    """Whole-batch fog stage: bg (B, H, W, 3), depth (B, H, W).
+
+    Computed OUTSIDE the per-frame vmap so that on TPU the 25-tap blur
+    can run in the fused Pallas stencil kernel
+    (ops.pallas.blur_kernel — the XLA banded-matmul blur was 11.8 ms
+    of the 13.4 ms fog stage at the round-4 headline config, ~35% of
+    the honest step). The kernel is hardware-value-gated per process
+    (pallas_blur_ok) and non-TPU/interpret callers keep the XLA path.
+    """
+    st = cfg.settings
+    cam = st.camera
+    bg32 = bg.astype(jnp.float32)
+    use_pallas = False
+    if not interpret and jax.default_backend() == "tpu":
+        from raintpu.ops.pallas.blur_kernel import (
+            pallas_blur_ok, pallas_blur_profitable,
+            pallas_blur_supported)
+        r = fog_ops.FOG_BLUR_KSIZE // 2
+        shape = (bg32.shape[0] * 4, bg32.shape[1], bg32.shape[2])
+        use_pallas = (pallas_blur_supported(shape, r)
+                      and pallas_blur_profitable(shape)
+                      and pallas_blur_ok())
+    return fog_ops.fog_rain_layer(
+        bg32, depth.astype(jnp.float32),
+        rain_intensity=cfg.fallrate, f_number=cam.f_number,
+        exposure_s=cam.exposure_s, camera_gain=cam.gain,
+        use_pallas_blur=use_pallas)
+
+
 def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
                      cfg: PipelineConfig,
-                     pano: Optional[jnp.ndarray] = None):
+                     pano: Optional[jnp.ndarray] = None,
+                     fogged: Optional[jnp.ndarray] = None,
+                     env_photo: Optional[jnp.ndarray] = None):
     """Per-frame drop-independent stage: fog + envmap.
 
     ``pano``: externally captured panorama for env_type='pano'
     (reference generator.py:401-403) — used as the environment map
     instead of the single-image extrapolation.
+    ``fogged`` / ``env_photo``: precomputed stage outputs for this
+    frame (the fused batched path runs :func:`batched_fog` /
+    :func:`batched_env_photo` outside its vmap); None computes them
+    here.
     Returns (fogged, env_rgb) — env_rgb is None unless needed.
     """
     st = cfg.settings
@@ -147,25 +185,26 @@ def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
     h, w = cfg.image_hw
     physics = st.rendering_strategy is None
 
-    fogged = fog_ops.fog_rain_layer(
-        bg.astype(jnp.float32), depth.astype(jnp.float32),
-        rain_intensity=cfg.fallrate, f_number=cam.f_number,
-        exposure_s=cam.exposure_s, camera_gain=cam.gain)
+    if fogged is None:
+        fogged = fog_ops.fog_rain_layer(
+            bg.astype(jnp.float32), depth.astype(jnp.float32),
+            rain_intensity=cfg.fallrate, f_number=cam.f_number,
+            exposure_s=cam.exposure_s, camera_gain=cam.gain)
 
     # Photometry needs the envmap only at env_downsample resolution
     # (the drop-cone averages integrate over most of the sphere); the
     # full-resolution map is generated only for --save_envmap. This
     # cuts the gather (TPU-hostile) by downsample^2.
     ds = max(int(cfg.env_downsample), 1)
-    env_photo = None
     env_save = None
     if st.env_type == "pano" and (physics or cfg.save_envmap):
         if pano is None:
             raise ValueError("env_type='pano' requires a panorama input")
         env_save = pano.astype(jnp.float32)
-        env_photo = _avg_pool_rgb(env_save, ds) if physics else None
+        if physics and env_photo is None:
+            env_photo = _avg_pool_rgb(env_save, ds)
     elif physics or cfg.save_envmap:
-        if physics:
+        if physics and env_photo is None:
             pooled = _avg_pool_rgb(fogged, ds)
             geom_lo = envmap_ops.envmap_geometry(h // ds, w // ds,
                                                  cam.focal)
@@ -177,11 +216,39 @@ def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
 
 
 def _avg_pool_rgb(img: jnp.ndarray, ds: int) -> jnp.ndarray:
+    """Block-mean pool the (H, W) axes of (..., H, W, C)."""
     if ds <= 1:
         return img
-    h, w, c = img.shape
+    h, w, c = img.shape[-3:]
     hq, wq = (h // ds) * ds, (w // ds) * ds
-    return img[:hq, :wq].reshape(h // ds, ds, w // ds, ds, c).mean((1, 3))
+    out = img[..., :hq, :wq, :].reshape(
+        img.shape[:-3] + (h // ds, ds, w // ds, ds, c))
+    return out.mean((-4, -2))
+
+
+def batched_env_photo(fogged: jnp.ndarray, cfg: PipelineConfig,
+                      pano: Optional[jnp.ndarray] = None):
+    """Whole-batch photometry-resolution envmap: fogged (B, H, W, 3)
+    -> (B, H', W_env', 3), or None when the config never reads it.
+
+    Computed OUTSIDE the per-frame vmap so the one-hot contractions
+    run with frames*channels as a full matrix dimension
+    (ops.envmap.generate_envmap_batch) — the vmapped per-frame einsums
+    put the 3-wide channel axis in the lane dim.
+    """
+    st = cfg.settings
+    if st.rendering_strategy is not None:
+        return None
+    h, w = cfg.image_hw
+    ds = max(int(cfg.env_downsample), 1)
+    if st.env_type == "pano":
+        if pano is None:
+            raise ValueError("env_type='pano' requires a panorama input")
+        return _avg_pool_rgb(pano.astype(jnp.float32), ds)
+    geom_lo = envmap_ops.envmap_geometry(h // ds, w // ds,
+                                         st.camera.focal)
+    return envmap_ops.generate_envmap_batch(
+        _avg_pool_rgb(fogged, ds), geom_lo)
 
 
 def drop_patches(env_rgb, drops: DropBatch, textures,
@@ -403,16 +470,22 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                                                  fused_raster_composite,
                                                  plan_window)
 
-    def stage1(b, d, dr, k, pn):
-        fogged, env_photo, env_save = frame_background(b, d, cfg, pn)
+    fogged_b = batched_fog(bg, depth, cfg, interpret=interpret)
+    env_photo_b = batched_env_photo(fogged_b, cfg, pano)
+
+    def stage1(fg, ep, b, d, dr, k, pn):
+        fogged, env_photo, env_save = frame_background(
+            b, d, cfg, pn, fogged=fg, env_photo=ep)
         buckets, overflow = drop_fused_params(
             env_photo, dr, textures, bin_edges, k, cfg,
             drop_offset=drop_offset)
         return fogged, env_save, buckets, overflow
 
     fogged, env_save, buckets, overflow = jax.vmap(
-        stage1, in_axes=(0, 0, 0, 0, None if pano is None else 0))(
-        bg, depth, drops, keys, pano)
+        stage1,
+        in_axes=(0, None if env_photo_b is None else 0, 0, 0, 0, 0,
+                 None if pano is None else 0))(
+        fogged_b, env_photo_b, bg, depth, drops, keys, pano)
 
     h, w = cfg.image_hw
     bspecs = cfg.raster.buckets

@@ -1,13 +1,16 @@
 """Per-stage step anatomy for the headline render (honest device timing).
 
-Times four nested jitted programs over the SAME workload and reports the
-stage deltas:
+Times a chain of nested jitted programs over the SAME workload and
+reports the stage deltas:
 
-    bg        frame_background only (fog + photometry envmap)
-    prep      bg + drop_fused_params (photometry, geometry, DCT coefs,
-              bucket routing) — everything up to the kernel
-    fields    prep + the fused Pallas kernels (field planes done)
-    full      fields + finalize (blend, contrast adjust, crop)
+    fog         batched fog only (production path: Pallas stencil blur)
+    fog+envmap  + pooled photometry-res envmap
+    bg          frame_background (== fog+envmap w/o save outputs)
+    prep_photo  bg + cone photometry (env features + drop colors)
+    prep_geom   + texture pick + drop geometry
+    prep        bg + full drop_fused_params (adds DCT coefs + routing)
+    fields      prep + the fused Pallas kernels (field planes done)
+    full        fields + finalize (blend, contrast adjust, crop)
 
 Every program fully reduces every output it claims to time (XLA DCE
 silently slices away unread results — see BASELINE.md round-3 note),
@@ -116,11 +119,13 @@ def main(argv=None):
 
     cam = settings.camera
 
+    interpret = jax.default_backend() != "tpu"
+
     def stage_fog(keys, bg, depth, drops, tex, edges):
-        # bg sub-stage 1: fog only (attenuation + airlight + blur).
-        out = jax.vmap(lambda b, d: fog_ops.fog_rain_layer(
-            b, d, rain_intensity=cfg.fallrate, f_number=cam.f_number,
-            exposure_s=cam.exposure_s, camera_gain=cam.gain))(bg, depth)
+        # bg sub-stage 1: fog only (attenuation + airlight + blur) —
+        # the PRODUCTION batched path (Pallas stencil blur on TPU).
+        out = frame_mod.batched_fog(bg, depth, cfg,
+                                    interpret=interpret)
         return _tree_sum(out)
 
     def stage_envmap(keys, bg, depth, drops, tex, edges):
@@ -130,30 +135,81 @@ def main(argv=None):
         ds = max(int(cfg.env_downsample), 1)
         geom_lo = envmap_ops.envmap_geometry(H_ // ds, W_ // ds,
                                              cam.focal)
-
-        def one(b, d):
-            fogged = fog_ops.fog_rain_layer(
-                b, d, rain_intensity=cfg.fallrate,
-                f_number=cam.f_number, exposure_s=cam.exposure_s,
-                camera_gain=cam.gain)
-            return envmap_ops.generate_envmap(
-                _avg_pool_rgb(fogged, ds), geom_lo), fogged
-        return _tree_sum(jax.vmap(one)(bg, depth))
+        fogged = frame_mod.batched_fog(bg, depth, cfg,
+                                       interpret=interpret)
+        env = jax.vmap(lambda f: envmap_ops.generate_envmap(
+            _avg_pool_rgb(f, ds), geom_lo))(fogged)
+        return _tree_sum((env, fogged))
 
     def stage_bg(keys, bg, depth, drops, tex, edges):
-        out = jax.vmap(lambda b, d: frame_background(b, d, cfg))(bg,
-                                                                 depth)
+        fogged = frame_mod.batched_fog(bg, depth, cfg,
+                                       interpret=interpret)
+        out = jax.vmap(lambda f, b, d: frame_background(
+            b, d, cfg, fogged=f))(fogged, bg, depth)
         return _tree_sum(out)
 
     def stage_prep(keys, bg, depth, drops, tex, edges):
-        def one(b, d, dr, k):
-            fogged, env_photo, env_save = frame_background(b, d, cfg)
+        fg_b = frame_mod.batched_fog(bg, depth, cfg,
+                                     interpret=interpret)
+
+        def one(fg, b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(
+                b, d, cfg, fogged=fg)
             buckets, overflow = drop_fused_params(
                 env_photo, dr, tex, edges, k, cfg)
             return _tree_sum((fogged, env_save, buckets, overflow))
-        return jnp.sum(jax.vmap(one)(bg, depth, drops, keys))
+        return jnp.sum(jax.vmap(one)(fg_b, bg, depth, drops, keys))
 
-    interpret = jax.default_backend() != "tpu"
+    from raintpu.ops import photometry as photometry_ops
+    from raintpu.ops import rasterize as raster_ops
+
+    def stage_prep_photo(keys, bg, depth, drops, tex, edges):
+        # prep sub-stage 1: bg + cone photometry (env features + per-
+        # drop colors); photometry cost = this - bg.
+        fg_b = frame_mod.batched_fog(bg, depth, cfg,
+                                     interpret=interpret)
+
+        def one(fg, b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(
+                b, d, cfg, fogged=fg)
+            env = photometry_ops.env_features(
+                env_photo, downsample=cfg.cone_downsample)
+            mid = (dr.wp1 + dr.wp2) / 2.0
+            gains = photometry_ops.drop_colors(
+                mid, env, sphere_radius=cfg.settings.sphere_radius,
+                fov_deg=cfg.settings.drop_fov_deg,
+                irrad_type=cfg.settings.irrad_type)
+            return _tree_sum((fogged, env_save, gains))
+        return jnp.sum(jax.vmap(one)(fg_b, bg, depth, drops, keys))
+
+    def stage_prep_geom(keys, bg, depth, drops, tex, edges):
+        # prep sub-stage 2: + texture pick + drop geometry (window,
+        # homography, band); coef prep + routing = prep - this.
+        fg_b = frame_mod.batched_fog(bg, depth, cfg,
+                                     interpret=interpret)
+
+        def one(fg, b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(
+                b, d, cfg, fogged=fg)
+            env = photometry_ops.env_features(
+                env_photo, downsample=cfg.cone_downsample)
+            mid = (dr.wp1 + dr.wp2) / 2.0
+            gains = photometry_ops.drop_colors(
+                mid, env, sphere_radius=cfg.settings.sphere_radius,
+                fov_deg=cfg.settings.drop_fov_deg,
+                irrad_type=cfg.settings.irrad_type)
+            k_tex, _ = jax.random.split(k)
+            tex_idx = raster_ops.select_textures(dr, edges, k_tex)
+            geom_d = raster_ops.drop_geometry(
+                dr, tex.raw.shape[1:], cfg.image_wh,
+                focal_m=cam.focal_m, f_number=cam.f_number,
+                focus_plane=cfg.settings.focus_plane,
+                coc_pixsize=cfg.raster.coc_pixsize,
+                apply_defocus=True,
+                noise_deg=jnp.zeros_like(dr.length))
+            return _tree_sum((fogged, env_save, gains, tex_idx,
+                              geom_d))
+        return jnp.sum(jax.vmap(one)(fg_b, bg, depth, drops, keys))
 
     def stage_fields(keys, bg, depth, drops, tex, edges):
         out = fused_field_planes(bg, depth, drops, tex, edges, keys,
@@ -165,7 +221,8 @@ def main(argv=None):
         return _tree_sum(out)
 
     stages = [("fog", stage_fog), ("fog+envmap", stage_envmap),
-              ("bg", stage_bg), ("prep", stage_prep),
+              ("bg", stage_bg), ("prep_photo", stage_prep_photo),
+              ("prep_geom", stage_prep_geom), ("prep", stage_prep),
               ("fields", stage_fields), ("full", stage_full)]
 
     data = (keys, bg, depth, drops, tex, edges)
@@ -207,6 +264,12 @@ def main(argv=None):
         "envmap (fog+envmap-fog)": results["fog+envmap"]
                                    - results["fog"],
         "bg": results["bg"],
+        "photometry (prep_photo-bg)": results["prep_photo"]
+                                      - results["bg"],
+        "geometry (prep_geom-photo)": results["prep_geom"]
+                                      - results["prep_photo"],
+        "coefs+route (prep-geom)": results["prep"]
+                                   - results["prep_geom"],
         "prep-bg": results["prep"] - results["bg"],
         "kernel (fields-prep)": results["fields"] - results["prep"],
         "finalize (full-fields)": results["full"] - results["fields"],

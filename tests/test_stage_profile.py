@@ -14,5 +14,6 @@ def test_stage_profile_smoke(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
     assert set(rec["ms_per_step"]) == {"fog", "fog+envmap", "bg",
+                                       "prep_photo", "prep_geom",
                                        "prep", "fields", "full"}
     assert all(v > 0 for v in rec["ms_per_step"].values())
