@@ -138,11 +138,12 @@ def generate_envmap_batch(backgrounds: jnp.ndarray,
     """Batched envmap: (B, H, W, 3) -> (B, H, W_env, 3).
 
     Value-identical to vmapping :func:`generate_envmap` (same one-hot
-    contractions), but with TPU-shaped matmuls: the per-frame einsums
-    put the 3-channel axis in the lane dimension (3/128 occupancy on
-    every operand — measured the bulk of the 3.8 ms envmap stage at
-    batch 48); here frames and channels fold together into a full
-    matrix dimension (B*3 >= 128 at production batches).
+    contractions), reshaped so frames and channels fold into a full
+    matrix dimension instead of the per-frame einsums' 3-wide lane
+    axis. MEASURED SLOWER on v5e despite the lane-occupancy argument
+    (9.9 vs 3.8 ms at batch 48 — XLA's layout choices for the vmapped
+    batched matmuls beat this hand reshaping), so production keeps the
+    vmapped per-frame path; kept tested for a future revisit.
     """
     if geom.height * geom.env_width > MATMUL_MAX_PIXELS:
         # Big maps (full-res save path) keep the chunked per-frame

@@ -25,11 +25,21 @@ Mosaic's plain f32 dot truncates operands to bf16 single-pass, 7e-4
 relative, same as XLA; the 4-pass split keeps ~2e-6 — MORE accurate
 than the XLA path on TPU) and run at the bf16 MXU rate. Traffic is
 ~1.8x input + 1x output; reads are triple-buffered, writes
-double-buffered, so DMA latency hides under the matmuls. (A first cut
-evaluated the stencils as 2r+1 shifted VPU FMAs: the misaligned
-sublane/lane slices each cost a relayout — 20.4 ms. A second cut used
-single-output-tile MXU blocks at depth-2 — 13.9 ms, per-step latency
-bound. This version measures the design target.)
+double-buffered, so DMA latency hides under the matmuls.
+
+Measured trail on v5e (fog shape, 192 x 375 x 1242):
+- 2r+1 shifted VPU FMAs: 20.4 ms (misaligned sublane/lane slices each
+  cost a relayout);
+- MXU band matmuls, 640-lane windows, depth-2: 13.9 ms;
+- this version (full-width contiguous bands, depth-3): 11.6 ms vs the
+  XLA blur's 11.9 — BUT a compute-free DMA-only variant measures
+  10.0 ms, i.e. the Pallas DMA path itself is the floor here (~95
+  GB/s effective on this device/toolchain vs the >400 GB/s the XLA
+  blur's fused passes reach). The kernel therefore ships as an
+  ACCURACY option (2.2e-6 vs f64 against XLA's 1.2e-3), not a speed
+  win: production fog keeps the in-vmap XLA blur (render.frame.
+  fused_field_planes note), and this stays available via
+  fog_rain_layer(use_pallas_blur=True) / render.frame.batched_fog.
 
 Borders are REFLECT_101 (cv2 default), folded into the padded input
 the wrapper builds (``jnp.pad mode='reflect'`` IS 101-style), so the
@@ -305,9 +315,19 @@ _BLUR_GATE: dict = {}
 def pallas_blur_ok() -> bool:
     """Value-gate the fused blur on the current backend, once per
     process: compiled Pallas vs a host float64 reference on a small
-    random stack. Non-TPU backends always use the XLA path."""
+    random stack. Non-TPU backends always use the XLA path.
+
+    TRACE-SAFE: the gate render cannot run while jax is tracing (a
+    nested jit inlines into the trace and the np comparison sees
+    tracers), so inside a trace an unresolved gate conservatively
+    reports False. Production entry points resolve it eagerly via
+    render.frame.resolve_kernel_modes before building any jit."""
     if jax.default_backend() != "tpu":
         return False
+    if "ok" not in _BLUR_GATE:
+        from jax._src.core import trace_state_clean
+        if not trace_state_clean():
+            return False
     if "ok" not in _BLUR_GATE:
         from raintpu.ops.blur import cv2_gaussian_kernel
         try:

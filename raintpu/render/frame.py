@@ -139,10 +139,16 @@ def batched_fog(bg: jnp.ndarray, depth: jnp.ndarray,
 
     Computed OUTSIDE the per-frame vmap so that on TPU the 25-tap blur
     can run in the fused Pallas stencil kernel
-    (ops.pallas.blur_kernel — the XLA banded-matmul blur was 11.8 ms
-    of the 13.4 ms fog stage at the round-4 headline config, ~35% of
-    the honest step). The kernel is hardware-value-gated per process
-    (pallas_blur_ok) and non-TPU/interpret callers keep the XLA path.
+    (ops.pallas.blur_kernel). The kernel is hardware-value-gated per
+    process (pallas_blur_ok — resolve it eagerly before jitting; the
+    gate is trace-safe and reports False inside a trace until then)
+    and non-TPU/interpret callers keep the XLA path.
+
+    NOT wired into fused_field_planes: measured on v5e the hoist was
+    net-slower than the vmapped in-graph fog (see the note there) —
+    this entry point exists for callers that need the Pallas blur's
+    accuracy (~2e-6 vs f64; the XLA blur's TPU matmuls truncate
+    operands to bf16, 1.2e-3).
     """
     st = cfg.settings
     cam = st.camera
@@ -233,8 +239,13 @@ def batched_env_photo(fogged: jnp.ndarray, cfg: PipelineConfig,
 
     Computed OUTSIDE the per-frame vmap so the one-hot contractions
     run with frames*channels as a full matrix dimension
-    (ops.envmap.generate_envmap_batch) — the vmapped per-frame einsums
-    put the 3-wide channel axis in the lane dim.
+    (ops.envmap.generate_envmap_batch).
+
+    NOT wired into fused_field_planes: despite the lane-occupancy
+    argument, the batched einsum layouts measured 2.6x SLOWER than the
+    vmapped per-frame contractions on v5e (9.9 vs 3.8 ms at batch 48)
+    — XLA's batched-matmul layout choices beat the hand-reshaped form
+    here. Kept (tested) as the starting point for a future revisit.
     """
     st = cfg.settings
     if st.rendering_strategy is not None:
@@ -470,22 +481,26 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
                                                  fused_raster_composite,
                                                  plan_window)
 
-    fogged_b = batched_fog(bg, depth, cfg, interpret=interpret)
-    env_photo_b = batched_env_photo(fogged_b, cfg, pano)
-
-    def stage1(fg, ep, b, d, dr, k, pn):
-        fogged, env_photo, env_save = frame_background(
-            b, d, cfg, pn, fogged=fg, env_photo=ep)
+    # NOTE (round 4, measured on v5e): hoisting fog/envmap out of this
+    # vmap into batched_fog/batched_env_photo was built and REVERTED —
+    # the hardware stage anatomy read fog 13.1 -> 14.4 ms (the Pallas
+    # stencil blur beats the XLA blur 11.6 vs 11.9 standalone, but the
+    # hoist's pad pass + lost elementwise fusion eat the margin) and
+    # envmap 3.8 -> 9.9 ms (the "full-lane" batched einsum layouts
+    # measure far worse than the vmapped per-frame contractions).
+    # Both batched paths remain available and tested for callers that
+    # need them (the Pallas blur is ~500x more accurate than the XLA
+    # blur on TPU, whose matmuls truncate operands to bf16).
+    def stage1(b, d, dr, k, pn):
+        fogged, env_photo, env_save = frame_background(b, d, cfg, pn)
         buckets, overflow = drop_fused_params(
             env_photo, dr, textures, bin_edges, k, cfg,
             drop_offset=drop_offset)
         return fogged, env_save, buckets, overflow
 
     fogged, env_save, buckets, overflow = jax.vmap(
-        stage1,
-        in_axes=(0, None if env_photo_b is None else 0, 0, 0, 0, 0,
-                 None if pano is None else 0))(
-        fogged_b, env_photo_b, bg, depth, drops, keys, pano)
+        stage1, in_axes=(0, 0, 0, 0, None if pano is None else 0))(
+        bg, depth, drops, keys, pano)
 
     h, w = cfg.image_hw
     bspecs = cfg.raster.buckets
@@ -649,8 +664,12 @@ def resolve_kernel_modes(cfg: PipelineConfig,
 
 def mode_gate_report() -> dict:
     """Gate outcomes observed this process (for bench JSON disclosure)."""
-    return {f"pair={k[0]},row_strip={k[1]},dtype={k[2]}": dict(v)
-            for k, v in _MODE_GATE.items()}
+    rep = {f"pair={k[0]},row_strip={k[1]},dtype={k[2]}": dict(v)
+           for k, v in _MODE_GATE.items()}
+    from raintpu.ops.pallas.blur_kernel import _BLUR_GATE
+    if "ok" in _BLUR_GATE:
+        rep["pallas_fog_blur"] = {"ok": _BLUR_GATE["ok"]}
+    return rep
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -3,7 +3,7 @@
 Times a chain of nested jitted programs over the SAME workload and
 reports the stage deltas:
 
-    fog         batched fog only (production path: Pallas stencil blur)
+    fog         fog only (attenuation + airlight + blur)
     fog+envmap  + pooled photometry-res envmap
     bg          frame_background (== fog+envmap w/o save outputs)
     prep_photo  bg + cone photometry (env features + drop colors)
@@ -96,6 +96,9 @@ def main(argv=None):
                          cone_downsample=int(os.environ.get("CDS",
                                                             "4")))
 
+    # Same pair/row-strip value gate as production/bench.
+    cfg = frame_mod.resolve_kernel_modes(cfg)
+
     sim_cfg = SimConfig.from_settings(settings, capacity=512)
     drops = simulate_frames(
         jax.random.PRNGKey(0), sim_cfg,
@@ -122,10 +125,12 @@ def main(argv=None):
     interpret = jax.default_backend() != "tpu"
 
     def stage_fog(keys, bg, depth, drops, tex, edges):
-        # bg sub-stage 1: fog only (attenuation + airlight + blur) —
-        # the PRODUCTION batched path (Pallas stencil blur on TPU).
-        out = frame_mod.batched_fog(bg, depth, cfg,
-                                    interpret=interpret)
+        # bg sub-stage 1: fog only — the production vmapped form (the
+        # batched_fog + Pallas-blur hoist measured NET-slower wired in;
+        # see render.frame.fused_field_planes).
+        out = jax.vmap(lambda b, d: fog_ops.fog_rain_layer(
+            b, d, rain_intensity=cfg.fallrate, f_number=cam.f_number,
+            exposure_s=cam.exposure_s, camera_gain=cam.gain))(bg, depth)
         return _tree_sum(out)
 
     def stage_envmap(keys, bg, depth, drops, tex, edges):
@@ -135,30 +140,28 @@ def main(argv=None):
         ds = max(int(cfg.env_downsample), 1)
         geom_lo = envmap_ops.envmap_geometry(H_ // ds, W_ // ds,
                                              cam.focal)
-        fogged = frame_mod.batched_fog(bg, depth, cfg,
-                                       interpret=interpret)
-        env = jax.vmap(lambda f: envmap_ops.generate_envmap(
-            _avg_pool_rgb(f, ds), geom_lo))(fogged)
-        return _tree_sum((env, fogged))
+
+        def one(b, d):
+            fogged = fog_ops.fog_rain_layer(
+                b, d, rain_intensity=cfg.fallrate,
+                f_number=cam.f_number, exposure_s=cam.exposure_s,
+                camera_gain=cam.gain)
+            return envmap_ops.generate_envmap(
+                _avg_pool_rgb(fogged, ds), geom_lo), fogged
+        return _tree_sum(jax.vmap(one)(bg, depth))
 
     def stage_bg(keys, bg, depth, drops, tex, edges):
-        fogged = frame_mod.batched_fog(bg, depth, cfg,
-                                       interpret=interpret)
-        out = jax.vmap(lambda f, b, d: frame_background(
-            b, d, cfg, fogged=f))(fogged, bg, depth)
+        out = jax.vmap(lambda b, d: frame_background(b, d, cfg))(bg,
+                                                                 depth)
         return _tree_sum(out)
 
     def stage_prep(keys, bg, depth, drops, tex, edges):
-        fg_b = frame_mod.batched_fog(bg, depth, cfg,
-                                     interpret=interpret)
-
-        def one(fg, b, d, dr, k):
-            fogged, env_photo, env_save = frame_background(
-                b, d, cfg, fogged=fg)
+        def one(b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(b, d, cfg)
             buckets, overflow = drop_fused_params(
                 env_photo, dr, tex, edges, k, cfg)
             return _tree_sum((fogged, env_save, buckets, overflow))
-        return jnp.sum(jax.vmap(one)(fg_b, bg, depth, drops, keys))
+        return jnp.sum(jax.vmap(one)(bg, depth, drops, keys))
 
     from raintpu.ops import photometry as photometry_ops
     from raintpu.ops import rasterize as raster_ops
@@ -166,12 +169,8 @@ def main(argv=None):
     def stage_prep_photo(keys, bg, depth, drops, tex, edges):
         # prep sub-stage 1: bg + cone photometry (env features + per-
         # drop colors); photometry cost = this - bg.
-        fg_b = frame_mod.batched_fog(bg, depth, cfg,
-                                     interpret=interpret)
-
-        def one(fg, b, d, dr, k):
-            fogged, env_photo, env_save = frame_background(
-                b, d, cfg, fogged=fg)
+        def one(b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(b, d, cfg)
             env = photometry_ops.env_features(
                 env_photo, downsample=cfg.cone_downsample)
             mid = (dr.wp1 + dr.wp2) / 2.0
@@ -180,17 +179,13 @@ def main(argv=None):
                 fov_deg=cfg.settings.drop_fov_deg,
                 irrad_type=cfg.settings.irrad_type)
             return _tree_sum((fogged, env_save, gains))
-        return jnp.sum(jax.vmap(one)(fg_b, bg, depth, drops, keys))
+        return jnp.sum(jax.vmap(one)(bg, depth, drops, keys))
 
     def stage_prep_geom(keys, bg, depth, drops, tex, edges):
         # prep sub-stage 2: + texture pick + drop geometry (window,
         # homography, band); coef prep + routing = prep - this.
-        fg_b = frame_mod.batched_fog(bg, depth, cfg,
-                                     interpret=interpret)
-
-        def one(fg, b, d, dr, k):
-            fogged, env_photo, env_save = frame_background(
-                b, d, cfg, fogged=fg)
+        def one(b, d, dr, k):
+            fogged, env_photo, env_save = frame_background(b, d, cfg)
             env = photometry_ops.env_features(
                 env_photo, downsample=cfg.cone_downsample)
             mid = (dr.wp1 + dr.wp2) / 2.0
@@ -209,7 +204,7 @@ def main(argv=None):
                 noise_deg=jnp.zeros_like(dr.length))
             return _tree_sum((fogged, env_save, gains, tex_idx,
                               geom_d))
-        return jnp.sum(jax.vmap(one)(fg_b, bg, depth, drops, keys))
+        return jnp.sum(jax.vmap(one)(bg, depth, drops, keys))
 
     def stage_fields(keys, bg, depth, drops, tex, edges):
         out = fused_field_planes(bg, depth, drops, tex, edges, keys,
