@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "features. 4 (default) is +21%% fresh-frame "
                         "throughput with max rain-pixel effect 1.6e-3 "
                         "(19x under the parity bar); 1 = exact")
+    p.add_argument("--save_format", type=str, default="png",
+                   choices=("png", "npy"),
+                   help="Output encoding: png (reference contract) or "
+                        "npy raw arrays (rainy uint8, mask float32) — "
+                        "PNG encode is host-zlib-bound and caps "
+                        "disk-to-disk throughput on small hosts")
     return p
 
 
@@ -238,7 +244,8 @@ def main(argv=None) -> int:
         batch_size=a.batch_size, drop_capacity=a.drop_capacity,
         seed=a.seed,
         raster_profile=getattr(a, "raster_profile", "default"),
-        cone_downsample=getattr(a, "cone_downsample", 4))
+        cone_downsample=getattr(a, "cone_downsample", 4),
+        save_format=getattr(a, "save_format", "png"))
     job = Job(spec)
     if a.online and a.export_xml:
         job.export_xml = True

@@ -35,12 +35,18 @@ def cv2_gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-# At or above this edge length the blur uses overlapping block slabs
-# with a (K, block) band matrix instead of a dense (n, n) one: a dense
-# column-blur at KITTI width does 1242 MACs/px for 25 real taps, while
-# a 128-deep slab does 128 (the MXU's minimum contraction depth) —
-# ~8x less MXU work, bit-equivalent math.
-_BLOCKED_BLUR_MIN_DIM = 256
+# Above this edge length the blur uses overlapping block slabs with a
+# (K, block) band matrix instead of a dense (n, n) one. ROUND-5
+# REVISION: the round-3 blocked path was justified by MACs/px (128 vs
+# n), but the fog stage is HBM-PASS-bound, not MXU-bound — the slab
+# stacking materializes overlapping copies while the dense matmul reads
+# the input once and writes once, and MXU FLOPs are nearly free at
+# these widths. Measured on v5e (192x375x1242 fog stack, honest
+# device-loop): dense 3.60 ms vs blocked 10.12; per-axis dense still
+# wins at w=2613 (3.59 vs 8.00) and loses by w=3328 (4.34 vs 2.98).
+# All production shapes (KITTI 1242, nuScenes 1600, Cityscapes envmap
+# 2613) are dense; the blocked path remains for wider axes.
+_BLOCKED_BLUR_MIN_DIM = 3073
 
 _blur_matrix_cache = {}
 _block_matrix_cache = {}
@@ -158,8 +164,10 @@ def separable_blur_hw(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     blur input channel-major (see ops.fog) rather than blur (H, W, C)
     with C in the lane dim.
 
-    Long axes use overlapping block slabs (linear cost — see
-    _blocked_axis_blur); short axes a dense (n, n) band matrix.
+    Axes up to _BLOCKED_BLUR_MIN_DIM use a dense (n, n) band matrix
+    (pass-minimal: one read, one write — measured 2.8x faster than the
+    slab path on v5e at production shapes); wider axes use overlapping
+    block slabs (linear MXU cost).
     """
     ksize = kernel.shape[0]
     kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
@@ -178,6 +186,132 @@ def separable_blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
         return separable_blur_hw(img, kernel)
     return jnp.moveaxis(
         separable_blur_hw(jnp.moveaxis(img, -1, 0), kernel), 0, -1)
+
+
+_coarse_kernel_cache = {}
+
+
+def _bilinear_phase_weights(ds: int):
+    """Per-phase (frac, uses_left) for half-pixel-aligned bilinear
+    upsampling by integer factor ds: fine i = j*ds + p sits at coarse
+    coordinate u = j + (p+0.5)/ds - 0.5."""
+    return [(p + 0.5) / ds - 0.5 for p in range(ds)]
+
+
+def _fit_coarse_kernel(kernel_key, kernel: np.ndarray, ds: int) -> np.ndarray:
+    """Least-squares coarse kernel c such that
+    ``bilinear_up(conv(c, boxpool(x, ds)))`` best matches ``conv(g, x)``
+    on the fine grid, for the fixed fine kernel g.
+
+    Fitting the whole composite response (pool -> coarse conv ->
+    bilinear tent) beats the naive "Gaussian of sigma/ds" coarse kernel
+    because the reference fog kernel is heavily truncated (ksize 25 at
+    sigma 25 is a near-box filter) and the tent/box factors reshape it.
+    Solved once per (kernel, ds) in numpy; interior (border-free) fit.
+    """
+    key = (kernel_key, ds)
+    if key in _coarse_kernel_cache:
+        return _coarse_kernel_cache[key]
+    g = kernel.astype(np.float64)
+    r = (len(g) - 1) // 2
+    rc = -(-r // ds) + 2
+    m = 6 * rc + 3                      # coarse line length for the fit
+    n = m * ds
+    # Pooling matrix D (m, n) and interior bilinear upsample U (n, m).
+    D = np.zeros((m, n))
+    for j in range(m):
+        D[j, j * ds:(j + 1) * ds] = 1.0 / ds
+    U = np.zeros((n, m))
+    for i in range(n):
+        u = (i + 0.5) / ds - 0.5
+        j0 = int(np.floor(u))
+        wgt = u - j0
+        U[i, min(max(j0, 0), m - 1)] += 1.0 - wgt
+        U[i, min(max(j0 + 1, 0), m - 1)] += wgt
+    # Basis responses F_t = U @ shift_t @ D for each coarse tap t.
+    taps = range(-rc, rc + 1)
+    basis = []
+    for t in taps:
+        S = np.zeros((m, m))
+        j = np.arange(m)
+        jj = j + t
+        ok = (jj >= 0) & (jj < m)
+        S[j[ok], jj[ok]] = 1.0
+        basis.append(U @ S @ D)          # (n, n)
+    # Target: G[o, i] = g[o - i + r]. Fit interior outputs, all inputs.
+    G = np.zeros((n, n))
+    oo, ii = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = oo - ii
+    inside = np.abs(d) <= r
+    G[inside] = g[(d + r)[inside]]
+    lo, hi = (2 * rc + 1) * ds, n - (2 * rc + 1) * ds
+    A = np.stack([F[lo:hi].ravel() for F in basis], axis=1)
+    b = G[lo:hi].ravel()
+    c, *_ = np.linalg.lstsq(A, b, rcond=None)
+    c = (c / c.sum()).astype(np.float32)
+    _coarse_kernel_cache[key] = c
+    return c
+
+
+def _bilinear_upsample_axis(x: jnp.ndarray, ds: int, axis: int) -> jnp.ndarray:
+    """Upsample ``axis`` (-1 or -2) by integer ds with half-pixel-aligned
+    bilinear weights (edge-clamped) — pure elementwise/concat (no gather,
+    no matmul: exact in f32 on TPU). Inverse grid of the ds-box pool."""
+    assert axis in (-1, -2), axis
+    m = x.shape[axis]
+    ax = x.ndim + axis
+    left = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=ax),
+         jax.lax.slice_in_dim(x, 0, m - 1, axis=ax)], axis=ax)
+    right = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, m, axis=ax),
+         jax.lax.slice_in_dim(x, m - 1, m, axis=ax)], axis=ax)
+    outs = []
+    for f in _bilinear_phase_weights(ds):
+        if f < 0.0:
+            outs.append((-f) * left + (1.0 + f) * x)
+        else:
+            outs.append((1.0 - f) * x + f * right)
+    y = jnp.stack(outs, axis=ax + 1)          # (..., m, ds[, W])
+    return y.reshape(x.shape[:ax] + (m * ds,) + x.shape[ax + 1:])
+
+
+def multirate_blur_hw(x: jnp.ndarray, kernel: np.ndarray,
+                      ds: int) -> jnp.ndarray:
+    """Separable blur of the last two axes of (..., H, W), computed at
+    ds x block-reduced resolution: REFLECT_101 tail-pad to a multiple of
+    ds, box-pool, blur with the LS-fitted coarse kernel
+    (:func:`_fit_coarse_kernel`), bilinearly upsample, crop.
+
+    ROUND-5 VERDICT: NOT used by production fog. The fog kernel
+    (ksize 25 at sigma 25) is heavily TRUNCATED — effectively a box-25
+    with strong spectral sidelobes — so pooling loses real signal: the
+    measured error floor of ANY linear multirate scheme for it is
+    ~1.9e-2 (ds=2) / 3.7e-2 (ds=4) on unit steps (optimal per-phase
+    estimator, computed numerically), and this implementation measures
+    2-5e-2 max on edge images — above the 0.03 quality bar. The
+    cheap-fog win came instead from pass-structure (dense band matmuls,
+    see _BLOCKED_BLUR_MIN_DIM). Box-pool aliasing plus tent-upsample
+    imaging bound the approach at the few-e-2 level even for smooth
+    Gaussians on rough inputs (sigma=5 ds=2 on binary noise: 3.9e-2) —
+    use only where ~1e-2-scale absolute error is acceptable and ds^2
+    cheapness matters. Kept + pinned in tests/test_blur.py.
+    """
+    if ds <= 1:
+        return separable_blur_hw(x, kernel)
+    h, w = x.shape[-2:]
+    hp, wp = -(-h // ds) * ds, -(-w // ds) * ds
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, hp - h), (0, wp - w)]
+    xp = jnp.pad(x, pad, mode="reflect") if (hp > h or wp > w) else x
+    pooled = xp.reshape(x.shape[:-2] + (hp // ds, ds, wp // ds, ds))
+    pooled = pooled.mean((-3, -1))
+    ksize = kernel.shape[0]
+    kernel_key = (ksize, float(kernel[0]), float(kernel[ksize // 2]))
+    ck = _fit_coarse_kernel(kernel_key, kernel, ds)
+    blurred = separable_blur_hw(pooled, ck)
+    up = _bilinear_upsample_axis(blurred, ds, -2)
+    up = _bilinear_upsample_axis(up, ds, -1)
+    return up[..., :h, :w]
 
 
 def _band_matrix(sigma: jnp.ndarray, size: int, radius: int) -> jnp.ndarray:

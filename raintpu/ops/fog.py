@@ -58,12 +58,14 @@ def fog_rain_layer(image: jnp.ndarray,
     reference instantiates FogRain once per weather, ``generator.py:272``).
 
     ``use_pallas_blur``: run the 25-tap blur through the fused Pallas
-    stencil kernel (ops.pallas.blur_kernel) — the production TPU path
-    (the XLA banded-matmul blur is HBM-bound on its own intermediates:
-    11.8 of the 13.4 ms fog stage at the round-4 headline config).
-    Only valid OUTSIDE vmap (the caller flattens batch dims here); the
-    kernel is value-identical to the XLA path up to fp reassociation
-    (~1e-7), interpret-tested and hardware-value-gated.
+    stencil kernel (ops.pallas.blur_kernel) — an ACCURACY option, not
+    the production path (production keeps the in-vmap XLA blur: the
+    round-4 hoist measured net-slower, see fused_field_planes). The
+    kernel's split-float matmuls are ~2e-6 vs f64 where the XLA blur's
+    TPU matmuls bf16-truncate operands (~1e-3); the tested agreement
+    bound between the two paths is ~1e-5 (tests/test_blur_pallas.py).
+    Only valid OUTSIDE vmap (the caller flattens batch dims here);
+    interpret-tested and hardware-value-gated.
     """
     b_ext = beta_ext(rain_intensity)
     f_ext = jnp.exp((-b_ext) * (depth / 1000.0))           # (..., H, W)

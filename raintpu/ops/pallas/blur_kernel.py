@@ -66,10 +66,14 @@ SUBLANE = 8
 # contraction costs (chunk + 2r) MACs per output pixel, so small
 # chunks stay near the 2r+1 useful taps; 128 keeps the MXU M dim full.
 ROW_CHUNK = 128
-# Full-width VMEM budget: 3 read banks of (ROW_CHUNK + 2r, W + 256)
-# f32 plus 2 write banks must stay well under VMEM; wider frames fall
-# back to the XLA path.
-MAX_BLUR_WIDTH = 3328
+# Scratch budget for the full-width bands: 3 read banks of
+# (ROW_CHUNK + ceil8(2r), W + 256) f32 plus 2 write banks of
+# (ROW_CHUNK, ceil128(W)) must stay well under the ~16 MiB VMEM;
+# pallas_blur_supported checks the JOINT (r, w) footprint against this
+# (a fixed max width alone under-counts at large radii). 10 MiB keeps
+# the historical r=12 envelope (w <= ~3300) with headroom for the
+# compiler's own buffers.
+VMEM_BLUR_BUDGET = 10 * (1 << 20)
 
 
 def _ceil8(v: int) -> int:
@@ -213,8 +217,12 @@ def pallas_blur_supported(shape, r: int) -> bool:
     if len(shape) != 3:
         return False
     n, h, w = shape
-    return (1 <= r <= 64 and r < h and r < w
-            and w + 2 * LANE <= MAX_BLUR_WIDTH)
+    if not (1 <= r <= 64 and r < h and r < w):
+        return False
+    th = ROW_CHUNK            # upper bound: _pick_tile_h(h) <= ROW_CHUNK
+    read = 3 * (th + _ceil8(2 * r)) * (w + 2 * LANE) * 4
+    write = 2 * th * (-(-w // LANE) * LANE) * 4
+    return read + write <= VMEM_BLUR_BUDGET
 
 
 def pallas_blur_profitable(shape) -> bool:
@@ -325,15 +333,23 @@ def pallas_blur_ok() -> bool:
     if jax.default_backend() != "tpu":
         return False
     if "ok" not in _BLUR_GATE:
-        from jax._src.core import trace_state_clean
-        if not trace_state_clean():
+        try:  # private API; a jax upgrade moving it must not break the gate
+            from jax._src.core import trace_state_clean
+            clean = trace_state_clean()
+        except Exception:
+            clean = False  # undeterminable -> conservatively "tracing"
+        if not clean:
             return False
     if "ok" not in _BLUR_GATE:
         from raintpu.ops.blur import cv2_gaussian_kernel
         try:
             k = cv2_gaussian_kernel(25, 25.0)
             rng = np.random.RandomState(0)
-            xn = rng.rand(4, 96, 256).astype(np.float32)
+            # h > ROW_CHUNK so the gate compiles a MULTI-band grid
+            # (nh > 1) — the band-offset DMA indexing is exactly what
+            # a Mosaic miscompile would get wrong; a single-band probe
+            # would never exercise it.
+            xn = rng.rand(2, 200, 256).astype(np.float32)
             ref = _host_blur_f64(xn, k)
             out = np.asarray(jax.jit(
                 lambda v: separable_blur_pallas(v, k))(jnp.asarray(xn)))

@@ -386,10 +386,11 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
         @pl.when(c < n)
         def _():
-            # All scalar work lives under the valid gate: gated (empty)
-            # steps otherwise pay ~0.8 us each just for this prologue,
-            # which at padded capacities is a large fraction of the
-            # kernel (measured round 2).
+            # All scalar work lives under the valid gate: with it, the
+            # marginal gated (empty) step costs ~0.06 us (round-3 kprof;
+            # the round-2 "0.8 us/gated-step" figure was a standalone-
+            # harness fields-copy artifact), so padded capacity is cheap
+            # but not free.
             a_c = anchors(0)
             a_m1, a_m2, a_m3 = anchors(-1), anchors(-2), anchors(-3)
             a_p1 = anchors(1)

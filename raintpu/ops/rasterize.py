@@ -107,9 +107,10 @@ class RasterConfig:
         # tens of px long, and composite cost scales with window area.
         # Capacities taper with bucket size (the population is heavily
         # skewed toward 1-2 px drops) — every padded slot costs a gated
-        # kernel grid step (~0.8 us), so oversized buckets are pure
-        # overhead. Overflow counters surface any workload that needs
-        # a bigger bucket.
+        # kernel grid step (~0.06 us marginal, round-3 kprof), so
+        # oversized buckets waste a little; undersized ones truncate.
+        # Overflow counters surface any workload that needs a bigger
+        # bucket.
         return RasterConfig(buckets=(
             BucketSpec(40, 32, 5, capacity, 16, 8),
             BucketSpec(96, 64, 12, max(64, capacity // 2), 24, 10),

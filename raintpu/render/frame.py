@@ -520,12 +520,11 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     n_planes = 8 if cfg.compute_saturation_mask else 5
     tex_hw = textures.raw.shape[1:]
 
-    # Mosaic envelope guard: kernel batches >= 14 fault the TPU worker
-    # on large-window buckets (BASELINE.md "Known envelope"; bisected:
-    # 12 ok, 14 crashes — batch-invariant bounds, interpret matches
-    # XLA, so it's a runtime issue, not indexing). Chunk the batch so
-    # each pallas_call sees <= MAX_KERNEL_BATCH frames; chunks write
-    # disjoint field planes and concatenate, so results are identical.
+    # Extreme-batch guard only: single pallas_calls run batch 16/24/48
+    # fine (the round-1 "batch >= 14 faults" was a constant-closure
+    # bench artifact — see MAX_KERNEL_BATCH's docstring and CLAUDE.md).
+    # Chunk so each pallas_call sees <= MAX_KERNEL_BATCH frames; chunks
+    # write disjoint field planes and concatenate, results identical.
     chunks = []
     for c0 in range(0, bsz, MAX_KERNEL_BATCH):
         c1 = min(c0 + MAX_KERNEL_BATCH, bsz)

@@ -87,6 +87,12 @@ class JobSpec:
     # with max rain-pixel image effect 1.6e-3 — 19x under the 0.03
     # parity interior bar. 1 = exact (the A/B/debug setting).
     cone_downsample: int = 4
+    # Output encoding: 'png' matches the reference's output contract
+    # (generator.py:466-469). 'npy' dumps raw arrays (rainy uint8,
+    # mask float32) — PNG encode is zlib-bound on the host (~5-10 ms/
+    # frame/core) and caps disk-to-disk throughput far below the device
+    # rate on small hosts; npy is a memcpy to the page cache.
+    save_format: str = "png"
 
 
 class RenderJob:
@@ -189,10 +195,17 @@ class RenderJob:
     # -- output -----------------------------------------------------------
     @staticmethod
     def _save_rainy(path: str, rainy: np.ndarray) -> None:
+        arr = (np.clip(rainy, 0, 1) * 255).round().astype(np.uint8)
+        if path.endswith(".npy"):
+            np.save(path, arr)
+            return
         from PIL import Image
 
-        arr = (np.clip(rainy, 0, 1) * 255).round().astype(np.uint8)
         Image.fromarray(arr).save(path)
+
+    @staticmethod
+    def _save_mask_npy(path: str, mask: np.ndarray) -> None:
+        np.save(path, np.asarray(mask, np.float32))
 
     @staticmethod
     def _save_mask(path: str, mask: np.ndarray) -> None:
@@ -304,15 +317,20 @@ class RenderJob:
                 idx = self._frame_indices(len(files))
                 prog.start("frame", len(idx))
 
+                if s.save_format not in ("png", "npy"):
+                    raise ValueError(
+                        f"save_format={s.save_format!r}: expected "
+                        "'png' or 'npy'")
+                ext = "." + s.save_format
                 # Pending (frame index, name) after existence filtering.
                 work = []
                 for i in idx:
                     name = os.path.splitext(
                         os.path.basename(files[i]))[0]
                     out_img = os.path.join(out_dir, "rainy_image",
-                                           name + ".png")
+                                           name + ext)
                     out_mask = os.path.join(out_dir, "rain_mask",
-                                            name + ".png")
+                                            name + ext)
                     if (os.path.exists(out_img)
                             or os.path.exists(out_mask)):
                         if s.conflict_strategy == "skip":
@@ -461,19 +479,22 @@ class RenderJob:
                 "dropped — raise --drop_capacity.")
 
         for bi, (i, name, oi, om, _pair) in enumerate(batch[:n_real]):
+            ext = os.path.splitext(oi)[1]
+            save_mask = (self._save_mask_npy if ext == ".npy"
+                         else self._save_mask)
             self._save_futures.append(self._save_pool.submit(
                 self._save_rainy, oi, rainy[bi]))
             self._save_futures.append(self._save_pool.submit(
-                self._save_mask, om, masks[bi]))
+                save_mask, om, masks[bi]))
             if envs is not None:
                 self._save_futures.append(self._save_pool.submit(
                     self._save_rainy,
-                    os.path.join(out_seq, "envmap", name + ".png"),
+                    os.path.join(out_seq, "envmap", name + ext),
                     envs[bi]))
             if sats is not None:
                 self._save_futures.append(self._save_pool.submit(
                     self._save_rainy,
                     os.path.join(os.path.dirname(os.path.dirname(om)),
-                                 "saturation_mask", name + ".png"),
+                                 "saturation_mask", name + ext),
                     np.clip(sats[bi], 0, 1)))
             stats["rendered"] += 1

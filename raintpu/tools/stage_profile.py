@@ -193,15 +193,27 @@ def main(argv=None):
                 mid, env, sphere_radius=cfg.settings.sphere_radius,
                 fov_deg=cfg.settings.drop_fov_deg,
                 irrad_type=cfg.settings.irrad_type)
-            k_tex, _ = jax.random.split(k)
+            # Mirror drop_fused_params' noise branch so the geometry
+            # sub-stage stays attributable under noisy configs (with
+            # zeros here, noise sampling would leak into "coefs+route").
+            k_tex, k_noise = jax.random.split(k)
             tex_idx = raster_ops.select_textures(dr, edges, k_tex)
+            st = cfg.settings
+            if st.noise_scale != 0.0 and st.noise_std != 0.0:
+                nkeys = raster_ops.per_drop_keys(
+                    k_noise, dr.ip1.shape[0], 0)
+                noise_deg = (jax.vmap(
+                    lambda kk: jax.random.normal(kk, ()))(nkeys)
+                    * st.noise_std * st.noise_scale)
+            else:
+                noise_deg = jnp.zeros_like(dr.length)
             geom_d = raster_ops.drop_geometry(
                 dr, tex.raw.shape[1:], cfg.image_wh,
                 focal_m=cam.focal_m, f_number=cam.f_number,
                 focus_plane=cfg.settings.focus_plane,
                 coc_pixsize=cfg.raster.coc_pixsize,
                 apply_defocus=True,
-                noise_deg=jnp.zeros_like(dr.length))
+                noise_deg=noise_deg)
             return _tree_sum((fogged, env_save, gains, tex_idx,
                               geom_d))
         return jnp.sum(jax.vmap(one)(bg, depth, drops, keys))

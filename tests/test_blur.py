@@ -30,6 +30,31 @@ def test_separable_blur_2d(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_multirate_blur_bounded_error(rng):
+    # multirate_blur_hw is NOT the production fog path (see its
+    # docstring: the truncated fog kernel aliases under pooling, error
+    # floor ~2-4e-2). Pin the implementation at its measured envelope
+    # so the documented verdict stays true, on a smooth field and an
+    # edge image, odd sizes (tail padding) included.
+    from raintpu.ops.blur import multirate_blur_hw, separable_blur_hw
+
+    k = cv2_gaussian_kernel(25, 25.0)
+    smooth = np.exp(-0.05 * (rng.rand(2, 95, 311).astype(np.float32)
+                             * 30 + 2))
+    edges = (rng.rand(2, 95, 311) > 0.5).astype(np.float32)
+    for name, x, bound in [("smooth", smooth, 0.04), ("edges", edges,
+                                                      0.08)]:
+        ex = np.asarray(separable_blur_hw(jnp.asarray(x), k))
+        got = np.asarray(multirate_blur_hw(jnp.asarray(x), k, 4))
+        err = np.abs(got - ex)
+        assert err.max() < bound, (name, err.max())
+        assert err.mean() < 8e-3, (name, err.mean())
+    # ds=1 is exactly the full-rate blur
+    got = np.asarray(multirate_blur_hw(jnp.asarray(smooth), k, 1))
+    np.testing.assert_array_equal(
+        got, np.asarray(separable_blur_hw(jnp.asarray(smooth), k)))
+
+
 def test_variable_blur_matches_scipy(rng):
     n, h, w = 4, 32, 24
     patches = np.zeros((n, h, w), np.float32)
@@ -53,28 +78,35 @@ def test_variable_blur_zero_sigma_is_identity(rng):
     np.testing.assert_allclose(got, patches, atol=1e-6)
 
 
-def test_separable_blur_blocked_path_matches_cv2(rng):
-    # Axes >= 256 take the overlapping-block-slab matmul path
-    # (blur._BLOCKED_BLUR_MIN_DIM); pin it to the cv2 oracle, including
-    # non-multiple-of-block sizes (tail block padding + crop) and the
-    # REFLECT_101 borders.
-    for h, w in [(300, 517), (256, 256), (90, 1242)]:
+def test_separable_blur_production_shapes_match_cv2(rng):
+    # Production-shape sizes (all dense since the round-5 pass-structure
+    # finding — blur._BLOCKED_BLUR_MIN_DIM), incl. the old blocked-path
+    # regression shapes and the Cityscapes envmap-feather width.
+    for (h, w), (ks, sg) in [((300, 517), (25, 25.0)),
+                             ((256, 256), (25, 25.0)),
+                             ((90, 1242), (25, 25.0)),
+                             ((64, 2613), (15, 2.6))]:
         img = rng.rand(h, w, 3).astype(np.float32)
-        k = cv2_gaussian_kernel(25, 25.0)
+        k = cv2_gaussian_kernel(ks, sg)
         got = np.asarray(separable_blur(jnp.asarray(img), k))
-        want = cv2.GaussianBlur(img, (25, 25), 25.0)
-        np.testing.assert_allclose(got, want, atol=2e-5)
+        want = cv2.GaussianBlur(img, (ks, ks), sg)
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"{h}x{w}")
 
 
-def test_separable_blur_wide_axis_matches_cv2(rng):
-    # Axes beyond the old 2048 dense cap (e.g. the Cityscapes full-res
-    # envmap feather at W~2613) now use the blocked path too; the
-    # depthwise-conv fallback was removed.
-    img = rng.rand(64, 2613, 3).astype(np.float32)
-    k = cv2_gaussian_kernel(15, 2.6)
-    got = np.asarray(separable_blur(jnp.asarray(img), k))
-    want = cv2.GaussianBlur(img, (15, 15), 2.6)
-    np.testing.assert_allclose(got, want, atol=2e-5)
+def test_blocked_axis_blur_matches_cv2(rng):
+    # The slab path now engages only beyond _BLOCKED_BLUR_MIN_DIM; pin
+    # it directly (both axes, tail-block padding + crop, REFLECT_101).
+    from raintpu.ops.blur import _blocked_axis_blur
+
+    k = cv2_gaussian_kernel(25, 25.0)
+    kk = (25, float(k[0]), float(k[12]))
+    img = rng.rand(3, 90, 1242).astype(np.float32)
+    got = _blocked_axis_blur(jnp.asarray(img), kk, k, -1)
+    got = np.asarray(_blocked_axis_blur(got, kk, k, -2))
+    for c in range(3):
+        want = cv2.GaussianBlur(img[c], (25, 25), 25.0)
+        np.testing.assert_allclose(got[c], want, atol=2e-5)
 
 
 def test_separable_blur_hw_batched_matches_cv2(rng):

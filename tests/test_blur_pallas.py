@@ -1,11 +1,13 @@
 """Fused Pallas stencil blur (ops/pallas/blur_kernel) vs the XLA
 banded-matmul blur and the cv2-semantics oracle.
 
-The kernel is the production TPU fog-blur path (render.frame.
-batched_fog); these interpret-mode tests pin its values to the proven
-XLA blur across edge geometries (non-multiple-of-128 widths, short
-bands, both fog and feather kernel sizes), and the batched fog wrapper
-to the per-frame reference formulation.
+The kernel is an ACCURACY option reachable via render.frame.batched_fog
+(production keeps the in-vmap XLA blur — the round-4 hoist measured
+net-slower on v5e; see fused_field_planes). These interpret-mode tests
+pin its values to the proven XLA blur across edge geometries
+(non-multiple-of-128 widths, short bands, both fog and feather kernel
+sizes), and the batched fog wrapper to the per-frame reference
+formulation.
 """
 
 import jax

@@ -97,6 +97,37 @@ def test_end_to_end_render(toy):
     assert arr.std() > 1  # not a constant image
 
 
+def test_save_format_npy(toy):
+    # --save_format npy: raw-array outputs (rainy uint8, mask float32)
+    # so disk-to-disk throughput isn't capped by host PNG/zlib encode.
+    tmp, xml = toy
+    spec = make_spec(tmp, xml, save_format="npy",
+                     output_root=os.path.join(tmp, "output_npy"),
+                     save_envmap=True)
+    stats = RenderJob(spec).run()
+    assert stats["rendered"] == 3
+    out = os.path.join(tmp, "output_npy", "toy", "seqA", "rain", "25mm")
+    imgs = sorted(os.listdir(os.path.join(out, "rainy_image")))
+    assert imgs == ["000000.npy", "000001.npy", "000002.npy"]
+    arr = np.load(os.path.join(out, "rainy_image", imgs[0]))
+    assert arr.dtype == np.uint8 and arr.shape == (H, W, 3)
+    # npy rainy content == the PNG run's content (same seed/config).
+    png = np.asarray(Image.open(os.path.join(
+        tmp, "output", "toy", "seqA", "rain", "25mm",
+        "rainy_image", "000000.png")))
+    np.testing.assert_array_equal(arr, png)
+    mask = np.load(os.path.join(out, "rain_mask", "000000.npy"))
+    assert mask.dtype == np.float32 and mask.shape == (H, W)
+    envs = sorted(os.listdir(os.path.join(
+        tmp, "output_npy", "toy", "seqA", "envmap")))
+    assert envs and all(e.endswith(".npy") for e in envs)
+    # skip strategy must key on the npy outputs
+    spec2 = make_spec(tmp, xml, save_format="npy",
+                      output_root=os.path.join(tmp, "output_npy"),
+                      conflict_strategy="skip")
+    assert RenderJob(spec2).run()["skipped"] == 3
+
+
 def test_skip_strategy_resumes(toy):
     tmp, xml = toy
     spec = make_spec(tmp, xml, conflict_strategy="skip")
