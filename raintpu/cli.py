@@ -220,6 +220,14 @@ def main(argv=None) -> int:
     ns = check_args(sys.argv[1:] if argv is None else argv)
     a = ns.args
 
+    # Persistent compile cache: TPU first-compiles of the full pipeline
+    # take minutes through the remote AOT helper; repeat invocations of
+    # the CLI at the same shapes must not pay that again.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(os.environ.get(
+                          "RAINTPU_COMPILE_CACHE", "~/.cache/jax_comp")))
+
     from raintpu.render.pipeline import JobSpec, RenderJob
     if a.online:
         from raintpu.render.online import OnlineRenderJob as Job

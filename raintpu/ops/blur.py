@@ -63,9 +63,16 @@ def _blur_matrix(n: int, kernel_key, kernel: np.ndarray) -> np.ndarray:
     i = np.arange(n)
     for k, wgt in enumerate(kernel):
         j = i - r + k
-        # REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
-        j = np.abs(j)
-        j = np.where(j >= n, 2 * (n - 1) - j, j)
+        # REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ... — the
+        # reflection group has period 2(n-1), so fold EXACTLY (r >= n
+        # reflects more than once: tiny envmaps under the 15-tap
+        # feather; single-fold indexed out of bounds).
+        if n == 1:
+            j = np.zeros_like(j)
+        else:
+            p = 2 * (n - 1)
+            j = np.abs(j) % p
+            j = np.where(j >= n, p - j, j)
         np.add.at(K, (i, j), wgt)
     _blur_matrix_cache[key] = K
     return K

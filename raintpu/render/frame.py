@@ -93,7 +93,28 @@ class PipelineConfig:
     # is a 20-gon polygon rasterized at integer pixels
     # (bad_weather.py:596-704), so a small boundary band is already in
     # its error model; validate any >1 setting against the parity bars.
+    #
+    # NOTE: every production entry point (JobSpec, bench.py, the suite)
+    # sets cone_downsample=4 — the measured round-4 default (+21%
+    # honest throughput, effect 1.6e-3, parity-pinned). The library
+    # default stays 1 so direct PipelineConfig callers get the EXACT
+    # cone unless they opt in (library-exact, production-fast policy).
     cone_downsample: int = 1
+    # Fold cone_downsample into envmap GENERATION: when cds > 1,
+    # generate the photometry envmap directly at the cds-effective
+    # resolution (env_downsample * cds) instead of generating at
+    # env_downsample and block-reducing the features afterwards — the
+    # same effective feature grid from a 16x smaller one-hot resample.
+    # Slightly different block integrals (map-of-pooled vs
+    # pooled-of-map); end-to-end effect at full KITTI measured 1.28e-3
+    # vs the exact cone — SMALLER than unfolded cds=4's 1.71e-3
+    # (tests/test_pipeline.py::test_cone_downsample_parity pins both).
+    # v5e stage timing was NEUTRAL (envmap delta 3.76 -> 3.76 ms at
+    # batch 48: the stage cost is the full-res _avg_pool_rgb read, not
+    # the one-hot resample) — kept for the accuracy win and the 16x
+    # smaller envmap working set.
+    # No effect when cone_downsample == 1 (the exact path is exact).
+    env_fold: bool = True
 
     def resolved_composite_mode(self) -> str:
         mode = self.composite_mode
@@ -170,6 +191,38 @@ def batched_fog(bg: jnp.ndarray, depth: jnp.ndarray,
         use_pallas_blur=use_pallas)
 
 
+# env_fold floor: the generated photometry envmap must keep at least
+# this many texels per image axis — folding a toy-scale frame down to
+# a 1x3 map erases the vertical sky/road structure the cone integrates
+# (and is where the REFLECT_101 feather degenerates). Production
+# resolutions fold fully: KITTI 375//16=23, nuScenes 900//16=56,
+# Cityscapes 1024//16=64.
+_ENV_FOLD_MIN = 6
+
+
+def env_downsamples(cfg: PipelineConfig) -> Tuple[int, int]:
+    """(envmap-generation downsample, feature downsample).
+
+    env_fold moves the cone block-reduction into envmap generation:
+    the photometry envmap is generated at env_downsample*fold and the
+    features block-reduce by the remaining cds/fold. The fold factor is
+    the largest divisor of cone_downsample that keeps the generated map
+    at >= _ENV_FOLD_MIN texels per axis (full fold at production
+    resolutions; small frames degrade gracefully to the unfolded path).
+    Off (or cds=1): generate at env_downsample, block-reduce by cds.
+    """
+    ds = max(int(cfg.env_downsample), 1)
+    cds = max(int(cfg.cone_downsample), 1)
+    if not cfg.env_fold or cds == 1:
+        return ds, cds
+    h, w = cfg.image_hw
+    f = cds
+    while f > 1 and (cds % f != 0
+                     or min(h, w) // (ds * f) < _ENV_FOLD_MIN):
+        f -= 1
+    return ds * f, cds // f
+
+
 def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
                      cfg: PipelineConfig,
                      pano: Optional[jnp.ndarray] = None,
@@ -197,23 +250,25 @@ def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
             rain_intensity=cfg.fallrate, f_number=cam.f_number,
             exposure_s=cam.exposure_s, camera_gain=cam.gain)
 
-    # Photometry needs the envmap only at env_downsample resolution
-    # (the drop-cone averages integrate over most of the sphere); the
-    # full-resolution map is generated only for --save_envmap. This
-    # cuts the gather (TPU-hostile) by downsample^2.
-    ds = max(int(cfg.env_downsample), 1)
+    # Photometry needs the envmap only at a reduced resolution (the
+    # drop-cone averages integrate over most of the sphere); the
+    # full-resolution map is generated only for --save_envmap. With
+    # env_fold the cone_downsample block-reduction folds into the
+    # generation resolution too (env_downsamples), shrinking the
+    # one-hot resample by cds^2.
+    gen_ds, _ = env_downsamples(cfg)
     env_save = None
     if st.env_type == "pano" and (physics or cfg.save_envmap):
         if pano is None:
             raise ValueError("env_type='pano' requires a panorama input")
         env_save = pano.astype(jnp.float32)
         if physics and env_photo is None:
-            env_photo = _avg_pool_rgb(env_save, ds)
+            env_photo = _avg_pool_rgb(env_save, gen_ds)
     elif physics or cfg.save_envmap:
         if physics and env_photo is None:
-            pooled = _avg_pool_rgb(fogged, ds)
-            geom_lo = envmap_ops.envmap_geometry(h // ds, w // ds,
-                                                 cam.focal)
+            pooled = _avg_pool_rgb(fogged, gen_ds)
+            geom_lo = envmap_ops.envmap_geometry(h // gen_ds,
+                                                 w // gen_ds, cam.focal)
             env_photo = envmap_ops.generate_envmap(pooled, geom_lo)
         if cfg.save_envmap:
             geom = envmap_ops.envmap_geometry(h, w, cam.focal)
@@ -222,14 +277,29 @@ def frame_background(bg: jnp.ndarray, depth: jnp.ndarray,
 
 
 def _avg_pool_rgb(img: jnp.ndarray, ds: int) -> jnp.ndarray:
-    """Block-mean pool the (H, W) axes of (..., H, W, C)."""
+    """Block-mean pool the (H, W) axes of (..., H, W, C).
+
+    Rows pool via a banded one-hot matmul on the (H, W*C) full-lane
+    view, columns via reshape-mean: the naive reshape + mean over two
+    strided axes lays out badly on TPU for channels-last C=3 (v5e,
+    batch 48 KITTI: reshape-mean 3.85 ms vs this 2.15 ms at ds=16,
+    4.27 vs 2.66 at ds=4; lax.reduce_window 16.4 ms). HIGHEST matmul
+    precision keeps the pool EXACT (1.2e-7 vs reshape-mean) instead of
+    inheriting the TPU bf16-operand truncation (2e-4) — the compute is
+    trivial next to the full-image HBM read either way.
+    """
     if ds <= 1:
         return img
     h, w, c = img.shape[-3:]
     hq, wq = (h // ds) * ds, (w // ds) * ds
-    out = img[..., :hq, :wq, :].reshape(
-        img.shape[:-3] + (h // ds, ds, w // ds, ds, c))
-    return out.mean((-4, -2))
+    x = img[..., :hq, :wq, :]
+    pr = (jnp.arange(hq)[None, :] // ds ==
+          jnp.arange(h // ds)[:, None]).astype(img.dtype) / ds
+    v = x.reshape(img.shape[:-3] + (hq, wq * c))
+    r = jnp.einsum("oh,...hw->...ow", pr, v,
+                   precision=jax.lax.Precision.HIGHEST)
+    r = r.reshape(img.shape[:-3] + (h // ds, wq // ds, ds, c))
+    return r.mean(-2)
 
 
 def batched_env_photo(fogged: jnp.ndarray, cfg: PipelineConfig,
@@ -251,7 +321,7 @@ def batched_env_photo(fogged: jnp.ndarray, cfg: PipelineConfig,
     if st.rendering_strategy is not None:
         return None
     h, w = cfg.image_hw
-    ds = max(int(cfg.env_downsample), 1)
+    ds = env_downsamples(cfg)[0]
     if st.env_type == "pano":
         if pano is None:
             raise ValueError("env_type='pano' requires a panorama input")
@@ -293,7 +363,7 @@ def drop_patches(env_rgb, drops: DropBatch, textures,
         # env_rgb arrives already at photometry resolution
         # (frame_background pools by cfg.env_downsample).
         env = photometry_ops.env_features(
-            env_rgb, downsample=cfg.cone_downsample)
+            env_rgb, downsample=env_downsamples(cfg)[1])
         mid = (drops.wp1 + drops.wp2) / 2.0
         gains = photometry_ops.drop_colors(
             mid, env, sphere_radius=st.sphere_radius,
@@ -406,7 +476,7 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
 
     if physics:
         env = photometry_ops.env_features(
-            env_rgb, downsample=cfg.cone_downsample)
+            env_rgb, downsample=env_downsamples(cfg)[1])
         mid = (drops.wp1 + drops.wp2) / 2.0
         gains = photometry_ops.drop_colors(
             mid, env, sphere_radius=st.sphere_radius,
@@ -598,6 +668,69 @@ def _render_frames_fused(bg, depth, drops, textures, bin_edges, keys,
 _MODE_GATE: dict = {}
 
 
+def _gate_fingerprint() -> str:
+    """Environment fingerprint for the persistent mode-gate cache: any
+    change to the kernel/render sources, the jax version, or the device
+    kind invalidates cached verdicts (a stale 'ok' after a kernel edit
+    would skip the actual value check)."""
+    import hashlib
+
+    import raintpu.ops.pallas.fused_kernel as _fk
+    import raintpu.ops.rasterize as _rz
+
+    h = hashlib.sha256()
+    for mod in (_fk, _rz):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    h.update(jax.__version__.encode())
+    try:
+        h.update(jax.devices()[0].device_kind.encode())
+    except Exception:
+        h.update(b"unknown-device")
+    return h.hexdigest()[:16]
+
+
+def _gate_cache_path() -> str:
+    """Empty RAINTPU_GATE_CACHE disables persistence entirely — the
+    test suite sets it so monkeypatched gate fakes can never leak a
+    fake verdict into (or read one from) the real user cache."""
+    import os
+    return os.path.expanduser(os.environ.get(
+        "RAINTPU_GATE_CACHE", "~/.cache/raintpu_mode_gate.json"))
+
+
+def _gate_cache_load() -> dict:
+    import json
+    path = _gate_cache_path()
+    if not path:
+        return {}
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _gate_cache_store(key_str: str, rec: dict) -> None:
+    import json
+    import os
+    path = _gate_cache_path()
+    if not path:
+        return
+    try:
+        data = _gate_cache_load()
+        data[key_str] = rec
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is an optimization; the in-process verdict stands
+
+
 def resolve_kernel_modes(cfg: PipelineConfig,
                          _floor_check: bool = False) -> PipelineConfig:
     """Value-gate the pair/row-strip kernel modes on real hardware.
@@ -629,13 +762,28 @@ def resolve_kernel_modes(cfg: PipelineConfig,
         return cfg  # the proven floor — gated only via degradation
     rec = _MODE_GATE.get(key)
     if rec is None:
-        from raintpu.tools.tpu_selfcheck import kernel_modes_ok
-        try:
-            ok = kernel_modes_ok(*key)
-            err = None
-        except Exception as e:  # compile/runtime failure = mode unusable
-            ok, err = False, f"{type(e).__name__}: {e}"
-        rec = {"ok": ok, "error": err}
+        # Persistent verdict cache: the gate's compiled-vs-interpret
+        # render costs minutes per process through the remote AOT
+        # helper (measured ~3 min of the CLI's fixed startup) and its
+        # outcome is a pure function of (kernel sources, jax, device,
+        # mode key) — all in the fingerprint, so any kernel edit or
+        # environment change re-runs the real check.
+        # RAINTPU_GATE_FRESH=1 ignores cached verdicts (bench.py sets
+        # it: the official bench must verify the actual hardware).
+        import os as _os
+        fresh = _os.environ.get("RAINTPU_GATE_FRESH", "0") == "1"
+        key_str = "%s|pair=%s,row_strip=%s,dtype=%s" % (
+            _gate_fingerprint(), key[0], key[1], key[2])
+        rec = None if fresh else _gate_cache_load().get(key_str)
+        if rec is None:
+            from raintpu.tools.tpu_selfcheck import kernel_modes_ok
+            try:
+                ok = kernel_modes_ok(*key)
+                err = None
+            except Exception as e:  # compile/runtime failure = unusable
+                ok, err = False, f"{type(e).__name__}: {e}"
+            rec = {"ok": ok, "error": err}
+            _gate_cache_store(key_str, rec)
         _MODE_GATE[key] = rec
     if rec["ok"]:
         return cfg

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import sys
+import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -229,6 +230,7 @@ class RenderJob:
         import jax.numpy as jnp
 
         s = self.spec
+        t_start = time.perf_counter()
         stats = {"rendered": 0, "skipped": 0, "failed": 0}
         self.db = get_streak_database(s.streaks_db, s.norm_coeff,
                                       seed=s.seed)
@@ -389,6 +391,13 @@ class RenderJob:
         self._save_futures.clear()
         stats["overflowed_drops"] = self._overflow_total
         stats["truncated_drops"] = self._truncated_total
+        # Disk-to-disk throughput: wall time of the whole run()
+        # (image/depth reads, device render incl. first compiles,
+        # encode + writes) over frames actually rendered.
+        elapsed = time.perf_counter() - t_start
+        stats["elapsed_s"] = round(elapsed, 2)
+        if stats["rendered"] and elapsed > 0:
+            stats["img_per_s"] = round(stats["rendered"] / elapsed, 2)
         if self._truncated_total:
             print_warning(
                 f"{self._truncated_total} drop(s) were truncated at pack "

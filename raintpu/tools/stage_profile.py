@@ -56,8 +56,16 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--hw", type=int, nargs=2, default=(375, 1242),
                     metavar=("H", "W"))
+    ap.add_argument("--nuscenes", action="store_true",
+                    help="Profile the nuScenes 6-cam rig config instead "
+                         "(6x1600x900 @100 mm/hr, full population, "
+                         "workload-fitted ladder — bench_suite config 4)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
+    if args.nuscenes:
+        args.hw = (900, 1600)
+        args.batch = 6
+        args.fallrate = 100.0
 
     import jax
     import jax.numpy as jnp
@@ -74,19 +82,54 @@ def main(argv=None):
     from raintpu.render.camera import CameraSettings, RenderSettings
     from raintpu.render import frame as frame_mod
     from raintpu.render.frame import (PipelineConfig, drop_fused_params,
-                                      frame_background,
+                                      env_downsamples, frame_background,
                                       fused_field_planes, render_frames)
 
     H, W = args.hw
     B = args.batch
-    settings = RenderSettings(camera=CameraSettings())
-    # Same fitted ladder as bench.py (headline config).
-    raster = RasterConfig(buckets=(
-        BucketSpec(24, 32, 5, 224, 12, 6, 3),
-        BucketSpec(48, 32, 8, 64, 12, 6, 3),
-        BucketSpec(96, 64, 12, 32, 24, 10, 4),
-        BucketSpec(112, 96, 20, 16, 16, 8, 4),
-    ))
+    if args.nuscenes:
+        settings = RenderSettings(camera=CameraSettings(wh=(W, H),
+                                                        ccd_wh=(W, H)))
+    else:
+        settings = RenderSettings(camera=CameraSettings())
+
+    if args.nuscenes:
+        # Full population, capacity sized like bench_suite config 4.
+        from raintpu.physics.simulator import expected_drop_count
+        probe = SimConfig.from_settings(settings, capacity=1)
+        expect = expected_drop_count(probe, args.fallrate)
+        args.capacity = int(
+            -(-(expect + 5 * np.sqrt(expect)) // 256) * 256)
+    sim_cfg = SimConfig.from_settings(settings, capacity=args.capacity)
+    drops = simulate_frames(
+        jax.random.PRNGKey(0), sim_cfg,
+        jnp.full(B, args.fallrate), jnp.full(B, 8.0),
+        jnp.full(B, settings.camera.exposure_s), jnp.ones(B))
+    if args.nuscenes:
+        counts = np.asarray(drops.count())
+        render_cap = int(-(-int(counts.max()) // 128) * 128)
+    else:
+        render_cap = args.capacity
+    drops = jax.jit(jax.vmap(
+        lambda d: compact_drop_batch(d, render_cap)))(drops)
+    jax.block_until_ready(drops.ip1)
+
+    if args.nuscenes:
+        # Workload-fitted ladder from this config's own population
+        # (same as bench_suite's nuScenes config).
+        from raintpu.data.textures import (
+            procedural_streak_database as _psd, texture_bank as _tb)
+        from raintpu.ops.rasterize import fit_raster_config
+        raster = fit_raster_config(drops, _tb(_psd()).raw.shape[1:],
+                                   (W, H), settings)
+    else:
+        # Same hand ladder as bench.py (headline config).
+        raster = RasterConfig(buckets=(
+            BucketSpec(24, 32, 5, 224, 12, 6, 3),
+            BucketSpec(48, 32, 8, 64, 12, 6, 3),
+            BucketSpec(96, 64, 12, 32, 24, 10, 4),
+            BucketSpec(112, 96, 20, 16, 16, 8, 4),
+        ))
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=args.fallrate, raster=raster,
                          fields_dtype=os.environ.get("FIELDS_DTYPE",
@@ -98,15 +141,6 @@ def main(argv=None):
 
     # Same pair/row-strip value gate as production/bench.
     cfg = frame_mod.resolve_kernel_modes(cfg)
-
-    sim_cfg = SimConfig.from_settings(settings, capacity=512)
-    drops = simulate_frames(
-        jax.random.PRNGKey(0), sim_cfg,
-        jnp.full(B, args.fallrate), jnp.full(B, 8.0),
-        jnp.full(B, settings.camera.exposure_s), jnp.ones(B))
-    drops = jax.jit(jax.vmap(
-        lambda d: compact_drop_batch(d, args.capacity)))(drops)
-    jax.block_until_ready(drops.ip1)
 
     rng = np.random.RandomState(0)
     bg = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
@@ -137,7 +171,7 @@ def main(argv=None):
         # bg sub-stage 2: fog + pooled photometry-res envmap — i.e.
         # everything frame_background does; envmap cost = this - fog.
         H_, W_ = cfg.image_hw
-        ds = max(int(cfg.env_downsample), 1)
+        ds = env_downsamples(cfg)[0]
         geom_lo = envmap_ops.envmap_geometry(H_ // ds, W_ // ds,
                                              cam.focal)
 
@@ -172,7 +206,7 @@ def main(argv=None):
         def one(b, d, dr, k):
             fogged, env_photo, env_save = frame_background(b, d, cfg)
             env = photometry_ops.env_features(
-                env_photo, downsample=cfg.cone_downsample)
+                env_photo, downsample=env_downsamples(cfg)[1])
             mid = (dr.wp1 + dr.wp2) / 2.0
             gains = photometry_ops.drop_colors(
                 mid, env, sphere_radius=cfg.settings.sphere_radius,
@@ -187,7 +221,7 @@ def main(argv=None):
         def one(b, d, dr, k):
             fogged, env_photo, env_save = frame_background(b, d, cfg)
             env = photometry_ops.env_features(
-                env_photo, downsample=cfg.cone_downsample)
+                env_photo, downsample=env_downsamples(cfg)[1])
             mid = (dr.wp1 + dr.wp2) / 2.0
             gains = photometry_ops.drop_colors(
                 mid, env, sphere_radius=cfg.settings.sphere_radius,

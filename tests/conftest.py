@@ -8,6 +8,12 @@ interpret mode under CPU — see tests/test_pallas.py).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the persistent kernel-mode-gate verdict cache: several tests
+# monkeypatch the gate with fakes (test_bench.py), and a fake verdict
+# must never be written to — or read from — the real user cache
+# (~/.cache/raintpu_mode_gate.json); a concurrent production CLI once
+# picked up a test's fake 'diverged' verdict and silently downgraded.
+os.environ["RAINTPU_GATE_CACHE"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

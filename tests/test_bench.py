@@ -182,3 +182,48 @@ def test_bench_smoke_json_schema(monkeypatch, capsys):
         assert key in rec, key
     assert rec["value"] > 0 and rec["steady_state"] > 0
     assert rec["fallback_fired"] is False
+
+
+def test_gate_cache_persists_across_processes(monkeypatch, tmp_path):
+    """The gate verdict persists to RAINTPU_GATE_CACHE (saving the
+    multi-minute compiled-vs-interpret check per CLI process), is keyed
+    on the source/jax/device fingerprint, honors RAINTPU_GATE_FRESH=1
+    (the official bench re-checks hardware), and is disabled entirely
+    by an empty path (conftest sets that: monkeypatched fakes must not
+    leak into the real user cache)."""
+    import jax
+
+    from raintpu.render import frame as frame_mod
+    from raintpu.tools import tpu_selfcheck
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+    monkeypatch.setattr(tpu_selfcheck, "kernel_modes_ok",
+                        lambda *a, **k: calls.append(a) or True)
+    cache = str(tmp_path / "gate.json")
+    monkeypatch.setenv("RAINTPU_GATE_CACHE", cache)
+    monkeypatch.delenv("RAINTPU_GATE_FRESH", raising=False)
+    cfg = _cfg(pair_eval=True, row_strip=True)
+
+    monkeypatch.setattr(frame_mod, "_MODE_GATE", {})
+    out = frame_mod.resolve_kernel_modes(cfg)
+    assert (out.pair_eval, out.row_strip) == (True, True)
+    assert len(calls) == 1 and os.path.exists(cache)
+
+    # "New process" (fresh in-process cache): verdict read from disk.
+    monkeypatch.setattr(frame_mod, "_MODE_GATE", {})
+    frame_mod.resolve_kernel_modes(cfg)
+    assert len(calls) == 1
+
+    # The official bench forces a real re-check.
+    monkeypatch.setenv("RAINTPU_GATE_FRESH", "1")
+    monkeypatch.setattr(frame_mod, "_MODE_GATE", {})
+    frame_mod.resolve_kernel_modes(cfg)
+    assert len(calls) == 2
+
+    # Empty path disables persistence in both directions.
+    monkeypatch.setenv("RAINTPU_GATE_CACHE", "")
+    monkeypatch.delenv("RAINTPU_GATE_FRESH", raising=False)
+    monkeypatch.setattr(frame_mod, "_MODE_GATE", {})
+    frame_mod.resolve_kernel_modes(cfg)
+    assert len(calls) == 3

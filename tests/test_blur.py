@@ -123,3 +123,16 @@ def test_separable_blur_hw_batched_matches_cv2(rng):
             want = cv2.GaussianBlur(x[b, c], (25, 25), 25.0)
             np.testing.assert_allclose(got[b, c], want, atol=2e-5,
                                        err_msg=f"b={b} c={c}")
+
+
+def test_separable_blur_tiny_axes_match_cv2(rng):
+    """Kernel radius >= axis length: REFLECT_101 folds more than once
+    (the round-5 dense band matrix originally single-folded and indexed
+    out of bounds — hit by the 15-tap envmap feather on toy-scale
+    envmaps, e.g. JobSpec tests at 24x48 frames)."""
+    k = cv2_gaussian_kernel(15, 2.6)
+    for h, w in [(6, 12), (3, 26), (2, 2), (6, 3)]:
+        img = rng.rand(h, w, 3).astype(np.float32)
+        got = np.asarray(separable_blur(jnp.asarray(img), k))
+        want = cv2.GaussianBlur(img, (15, 15), 2.6)
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"{h}x{w}")

@@ -454,6 +454,28 @@ def test_fitted_raster_profile(toy, tmp_path):
     assert np.abs(fitted - base).mean() < 3.0   # uint8 levels
 
 
+def test_avg_pool_rgb_exact():
+    """The banded-matmul block pool (2.3x the reshape-mean pool on v5e
+    — the envmap stage cost was the full-res pool, not the one-hot
+    resample) must stay EXACT: HIGHEST matmul precision, so no TPU
+    bf16-operand truncation leaks into the cds=1 library-exact path."""
+    import jax.numpy as jnp
+
+    from raintpu.render.frame import _avg_pool_rgb
+
+    rng = np.random.RandomState(0)
+    for shape in [(375, 126, 3), (4, 96, 256, 3), (23, 77, 3)]:
+        for ds in (1, 3, 4, 16):
+            x = jnp.asarray(rng.rand(*shape).astype(np.float32))
+            got = np.asarray(_avg_pool_rgb(x, ds))
+            h, w, c = shape[-3:]
+            hq, wq = (h // ds) * ds, (w // ds) * ds
+            ref = np.asarray(x)[..., :hq, :wq, :].reshape(
+                shape[:-3] + (h // ds, ds, w // ds, ds, c)).mean((-4, -2))
+            assert got.shape == ref.shape, (shape, ds)
+            assert np.abs(got - ref).max() < 1e-5, (shape, ds)
+
+
 def test_cone_downsample_parity():
     """cone_downsample=4 (the production default, +21% fresh-frame
     throughput measured on v5e) must stay visually identical to the
@@ -472,21 +494,27 @@ def test_cone_downsample_parity():
     cfg, (bg, depth, drops, tex, edges, keys) = build_scene()
     out1 = jax.jit(render_frames, static_argnames="cfg")(
         bg, depth, drops, tex, edges, keys, cfg)
-    cfg4 = dataclasses.replace(cfg, cone_downsample=4)
-    out4 = jax.jit(render_frames, static_argnames="cfg")(
-        bg, depth, drops, tex, edges, keys, cfg4)
-
     m1 = float(jnp.sum(out1.rain_mask))
     assert m1 > 1.0
-    img_diff = float(jnp.max(jnp.abs(out1.rainy_image
-                                     - out4.rainy_image)))
-    mask_inter = float(jnp.sum(jnp.minimum(out1.rain_mask > 0,
-                                           out4.rain_mask > 0)))
-    mask_union = float(jnp.sum(jnp.maximum(out1.rain_mask > 0,
-                                           out4.rain_mask > 0)))
-    # This scene is tiny (96x256 with env_downsample=4 underneath), so
-    # cds=4's relative coarseness is amplified vs full KITTI res
-    # (measured ~0.012 here vs 1.6e-3 there) — both under the 0.03
-    # reference-parity interior bar this knob is held to.
-    assert img_diff < 0.02, img_diff
-    assert mask_inter / mask_union > 0.995
+
+    # Both cds=4 variants — env_fold=True generates the photometry
+    # envmap directly at the cds-effective resolution (round 5; full-
+    # KITTI effect measured 1.28e-3, SMALLER than unfolded's 1.71e-3),
+    # env_fold=False block-reduces the features after generation.
+    for fold in (False, True):
+        cfg4 = dataclasses.replace(cfg, cone_downsample=4,
+                                   env_fold=fold)
+        out4 = jax.jit(render_frames, static_argnames="cfg")(
+            bg, depth, drops, tex, edges, keys, cfg4)
+        img_diff = float(jnp.max(jnp.abs(out1.rainy_image
+                                         - out4.rainy_image)))
+        mask_inter = float(jnp.sum(jnp.minimum(out1.rain_mask > 0,
+                                               out4.rain_mask > 0)))
+        mask_union = float(jnp.sum(jnp.maximum(out1.rain_mask > 0,
+                                               out4.rain_mask > 0)))
+        # This scene is tiny (96x256 with env_downsample=4 underneath),
+        # so cds=4's relative coarseness is amplified vs full KITTI res
+        # (measured ~0.012 here vs ~1.5e-3 there) — both under the 0.03
+        # reference-parity interior bar this knob is held to.
+        assert img_diff < 0.025, (fold, img_diff)
+        assert mask_inter / mask_union > 0.995, fold
