@@ -177,7 +177,8 @@ def _accum_rows(scr_bank, g, prm, n_planes):
         scr_bank[i] = (acc.astype(jnp.float32) + c).astype(acc.dtype)
 
 
-def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
+def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h,
+                      no_roll: bool = False):
     """Strip variant: g lives on a (tile_h_eval, LANE) strip whose
     image columns start s lanes and ds sublanes into the window
     (tile_h_eval = tile_h - sublane; the drop is evaluated from its
@@ -213,13 +214,20 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h):
         contribs = jnp.pad(contribs,
                            ((0, 0), (0, tile_h - the), (0, 0)))
     flat = contribs.reshape(n_planes * tile_h, LANE)
-    if the < tile_h:
-        flat = pltpu.roll(flat, ds, 0)
-    # s is the SIGNED window start of the strip's lane 0 (pair half 1
-    # can start up to 64 lanes left of the window; those wrap lanes
-    # are its zeroed other half). jnp.mod keeps the roll nonnegative.
-    rolled = pltpu.roll(flat, jnp.mod(s, LANE),
-                        1).reshape(n_planes, tile_h, LANE).astype(dtype)
+    if no_roll:
+        # Ablation only (kernel_ablation tool): skip the two dynamic
+        # rotates to price them; placement becomes wrong on purpose.
+        rolled = flat.reshape(n_planes, tile_h, LANE).astype(dtype)
+    else:
+        if the < tile_h:
+            flat = pltpu.roll(flat, ds, 0)
+        # s is the SIGNED window start of the strip's lane 0 (pair half
+        # 1 can start up to 64 lanes left of the window; those wrap
+        # lanes are its zeroed other half). jnp.mod keeps the roll
+        # nonnegative.
+        rolled = pltpu.roll(flat, jnp.mod(s, LANE),
+                            1).reshape(n_planes, tile_h,
+                                       LANE).astype(dtype)
     j = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     for i in range(n_planes):
         scr_bank[i, :, 0:LANE] = (
@@ -307,7 +315,8 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
 def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                            th: int, tw: int, n_planes: int,
                            strip_pad: int = 0, sub: int = SUBLANE,
-                           row_strip: bool = True, pair: bool = False):
+                           row_strip: bool = True, pair: bool = False,
+                           ablate: frozenset = frozenset()):
     """Depth-3 pipelined kernel (single-tile windows only).
 
     The serial kernel pays the full HBM round-trip latency per drop
@@ -350,7 +359,22 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
     into window position and accumulates. The per-drop window DMAs,
     RAW-hazard predicates and wait schedule are completely unchanged —
     drops stay serial with respect to memory.
+
+    ``ablate`` (tools/kernel_ablation ONLY — never production): a set
+    of trace-time knockouts pricing the per-drop cost components on
+    hardware. "noeval" zeroes the patch eval, "noroll" skips the
+    placement rotates, "noaccum" skips the accumulate, "noread"/
+    "nowrite" drop the window DMAs (with their waits); "nordwait"
+    keeps the read issues but skips the read wait (prices latency
+    exposure vs issue cost). Any non-empty set renders garbage by
+    design.
     """
+    ab_eval = "noeval" in ablate
+    ab_roll = "noroll" in ablate
+    ab_accum = "noaccum" in ablate
+    ab_read = "noread" in ablate
+    ab_write = "nowrite" in ablate
+    ab_rdwait = ("nordwait" in ablate) or ab_read
     def kernel(n_ref, ax_ref, ay_ref, prm_ref, ayc_ref, bxc_ref,
                *rest):
         if pair:
@@ -417,41 +441,48 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                     w_m3 = win_at(a_m3)
                     w_p1 = win_at(a_p1)
 
-                    # t1: fallback read(c) overlaps write(c-1).
-                    @pl.when(hz1_c)
-                    def _():
-                        pltpu.make_async_copy(
-                            scr3.at[m1], w_m1, sems_w.at[m1]).wait()
+                    if not ab_write:
+                        # t1: fallback read(c) overlaps write(c-1).
+                        @pl.when(hz1_c)
+                        def _():
+                            pltpu.make_async_copy(
+                                scr3.at[m1], w_m1, sems_w.at[m1]).wait()
 
-                    # t2: fallback read(c) overlaps write(c-2).
-                    @pl.when(hz2_c & ~hz1_cm1)
-                    def _():
-                        pltpu.make_async_copy(
-                            scr3.at[m2], w_m2, sems_w.at[m2]).wait()
+                        # t2: fallback read(c) overlaps write(c-2).
+                        @pl.when(hz2_c & ~hz1_cm1)
+                        def _():
+                            pltpu.make_async_copy(
+                                scr3.at[m2], w_m2, sems_w.at[m2]).wait()
 
                     # Fallback/prologue read(c) into bank cur.
                     @pl.when(~prefetched_c)
                     def _():
-                        # t3-late: bank cur still owed write(c-3).
-                        @pl.when((c >= 3) & ~hz1_cm2 & ~hz2_cm1)
-                        def _():
+                        if not ab_write:
+                            # t3-late: bank cur still owed write(c-3).
+                            @pl.when((c >= 3) & ~hz1_cm2 & ~hz2_cm1)
+                            def _():
+                                pltpu.make_async_copy(
+                                    scr3.at[cur], w_m3,
+                                    sems_w.at[cur]).wait()
+                        if not ab_read:
                             pltpu.make_async_copy(
-                                scr3.at[cur], w_m3,
-                                sems_w.at[cur]).wait()
-                        pltpu.make_async_copy(
-                            w_c, scr3.at[cur], sems_r.at[cur]).start()
+                                w_c, scr3.at[cur],
+                                sems_r.at[cur]).start()
 
                     # Prefetch read(c+1) into bank m2 (== (c+1) % 3).
                     @pl.when(prefetch_next)
                     def _():
-                        # t3-early: free that bank of write(c-2).
-                        @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
-                        def _():
+                        if not ab_write:
+                            # t3-early: free that bank of write(c-2).
+                            @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
+                            def _():
+                                pltpu.make_async_copy(
+                                    scr3.at[m2], w_m2,
+                                    sems_w.at[m2]).wait()
+                        if not ab_read:
                             pltpu.make_async_copy(
-                                scr3.at[m2], w_m2,
-                                sems_w.at[m2]).wait()
-                        pltpu.make_async_copy(
-                            w_p1, scr3.at[m2], sems_r.at[m2]).start()
+                                w_p1, scr3.at[m2],
+                                sems_r.at[m2]).start()
 
             if strip_pad:
                 # Strip mode (round 3): this bucket's content + erf
@@ -471,7 +502,9 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                     jnp.floor(prm(P_MINCX)).astype(jnp.int32)
                     - strip_pad - a_c[0], 0, pw2 - LANE)
                 ds = ay_ref[fi] - a_c[1] if row_strip else 0
-                if pair:
+                if ab_eval:
+                    g = jnp.zeros((the, LANE), jnp.float32)
+                elif pair:
                     # Pair mode: even steps evaluate drops (c, c+1)
                     # side by side in the lane halves; odd steps reuse
                     # the stash. The eval's per-drop params/coefs are
@@ -537,11 +570,15 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                                     LANE)
             else:
                 s = ds = None
-                g = _patch_eval(prm, lambda r, m: ayc_ref[0, 0, r, m],
-                                lambda r, m: bxc_ref[0, 0, r, m],
-                                a_c[0], a_c[1],
-                                r_ranks, modes_y, modes_x, th, tw,
-                                tile_h, pw2)
+                if ab_eval:
+                    g = jnp.zeros((tile_h, pw2), jnp.float32)
+                else:
+                    g = _patch_eval(prm,
+                                    lambda r, m: ayc_ref[0, 0, r, m],
+                                    lambda r, m: bxc_ref[0, 0, r, m],
+                                    a_c[0], a_c[1],
+                                    r_ranks, modes_y, modes_x, th, tw,
+                                    tile_h, pw2)
 
             for par in (0, 1, 2):
                 cur = par
@@ -551,36 +588,40 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                 @pl.when((c % 3) == par)
                 def _(cur=cur, m1=m1, m2=m2):
                     w_c = win_at(a_c)
-                    pltpu.make_async_copy(
-                        w_c, scr3.at[cur], sems_r.at[cur]).wait()
-
-                    if strip_pad:
-                        _accum_rows_strip(scr3.at[cur], g, prm,
-                                          n_planes, s, ds, pw2, tile_h)
-                    else:
-                        _accum_rows(scr3.at[cur], g, prm, n_planes)
-
-                    pltpu.make_async_copy(
-                        scr3.at[cur], w_c, sems_w.at[cur]).start()
-
-                    # Cleanup: quiesce writes whose scheduled wait
-                    # point lies beyond the last valid step.
-                    @pl.when(c == n - 1)
-                    def _():
+                    if not ab_rdwait:
                         pltpu.make_async_copy(
-                            scr3.at[cur], w_c, sems_w.at[cur]).wait()
+                            w_c, scr3.at[cur], sems_r.at[cur]).wait()
 
-                        @pl.when((c >= 1) & ~hz1_c)
+                    if not ab_accum:
+                        if strip_pad:
+                            _accum_rows_strip(scr3.at[cur], g, prm,
+                                              n_planes, s, ds, pw2,
+                                              tile_h, no_roll=ab_roll)
+                        else:
+                            _accum_rows(scr3.at[cur], g, prm, n_planes)
+
+                    if not ab_write:
+                        pltpu.make_async_copy(
+                            scr3.at[cur], w_c, sems_w.at[cur]).start()
+
+                        # Cleanup: quiesce writes whose scheduled wait
+                        # point lies beyond the last valid step.
+                        @pl.when(c == n - 1)
                         def _():
                             pltpu.make_async_copy(
-                                scr3.at[m1], win_at(a_m1),
-                                sems_w.at[m1]).wait()
+                                scr3.at[cur], w_c, sems_w.at[cur]).wait()
 
-                        @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
-                        def _():
-                            pltpu.make_async_copy(
-                                scr3.at[m2], win_at(a_m2),
-                                sems_w.at[m2]).wait()
+                            @pl.when((c >= 1) & ~hz1_c)
+                            def _():
+                                pltpu.make_async_copy(
+                                    scr3.at[m1], win_at(a_m1),
+                                    sems_w.at[m1]).wait()
+
+                            @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
+                            def _():
+                                pltpu.make_async_copy(
+                                    scr3.at[m2], win_at(a_m2),
+                                    sems_w.at[m2]).wait()
 
     return kernel
 
@@ -588,7 +629,7 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 @functools.partial(
     jax.jit,
     static_argnames=("window_hw", "tex_hw", "strip_pad", "row_strip",
-                     "pair", "interpret"))
+                     "pair", "interpret", "ablate"))
 def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
                            anchor: jnp.ndarray,    # (B, C, 2) int32 (raw)
                            ayc: jnp.ndarray,       # (B, C, R, My) damped
@@ -600,7 +641,8 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
                            strip_pad: int = 0,     # static, 0 = off
                            row_strip: bool = True,  # static
                            pair: bool = False,      # static
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           ablate: str = ""):       # static, tools only
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
     the kernel, so no patch pre-shifting is needed). ``fields`` stacks
@@ -644,10 +686,12 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
         if strip_pad and pw2 <= LANE:
             strip_pad = 0   # window is already one lane-tile wide
         pair = bool(pair) and strip_pad > 0
-        kernel = _make_kernel_pipelined(r_ranks, modes_y, modes_x,
-                                        tex_hw[0], tex_hw[1], n_planes,
-                                        strip_pad=strip_pad, sub=sub,
-                                        row_strip=row_strip, pair=pair)
+        kernel = _make_kernel_pipelined(
+            r_ranks, modes_y, modes_x, tex_hw[0], tex_hw[1], n_planes,
+            strip_pad=strip_pad, sub=sub, row_strip=row_strip,
+            pair=pair,
+            ablate=frozenset(ablate.split("+")) - {""} if ablate
+            else frozenset())
         the = tile_h - sub if row_strip else tile_h
         scratch_shapes = [
             pltpu.VMEM((3, n_planes, tile_h, pw2), dtype),
@@ -656,6 +700,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
             pltpu.SemaphoreType.DMA((3,)),
         ]
     else:
+        assert not ablate, "ablate targets the single-tile pipelined kernel"
         pair = False
         kernel = _make_kernel(r_ranks, modes_y, modes_x, tex_hw[0],
                               tex_hw[1], n_tiles, n_planes, sub=sub)
