@@ -54,6 +54,25 @@ def plan_window(ph: int, pw: int, sublane: int = SUBLANE):
     ph2 = n_tiles * tile_h
     return ph2, pw2, tile_h, n_tiles
 
+
+def bucket_strip_pad(ph: int, pw: int, radius: int,
+                     sublane: int = SUBLANE) -> int:
+    """Strip-eval pad for a bucket, or 0 when strip mode is off for it.
+
+    The pad covers the erf content tails (content <= pw by routing,
+    defocus sigma <= radius/4 so the 5-sigma tail <= 1.25 * radius);
+    strip mode requires content + both tails to fit one LANE-wide
+    strip AND a single-row-tile window plan. Shared by the render
+    caller (render.frame.fused_field_planes) and the anchor/narrow
+    computation (ops.rasterize.raster_params_frame) so the strip
+    contract and the anchor basis can never drift apart."""
+    pad = int(1.25 * radius) + 2
+    if pw + 2 * pad > LANE:
+        return 0
+    if plan_window(ph, pw, sublane)[3] != 1:
+        return 0
+    return pad
+
 # params row layout (26, B*C). P_SGX/P_SGY: blur sigma in NORMALIZED
 # texture coordinates (ops.rasterize.fourier_drop_coefficients).
 P_M00, P_M01, P_M02, P_M10, P_M11, P_M12, P_M20, P_M21, P_M22 = range(9)
@@ -178,7 +197,7 @@ def _accum_rows(scr_bank, g, prm, n_planes):
 
 
 def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h,
-                      no_roll: bool = False):
+                      no_roll: bool = False, narrow: bool = False):
     """Strip variant: g lives on a (tile_h_eval, LANE) strip whose
     image columns start s lanes and ds sublanes into the window
     (tile_h_eval = tile_h - sublane; the drop is evaluated from its
@@ -205,7 +224,15 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h,
     For bf16 planes the cast happens AFTER the pads + rolls: Mosaic's
     tpu.dynamic_rotate is 32-bit-only (measured on v5e: "Rotate with
     non-32-bit data" is not implemented), so the rolls run in f32 and
-    the narrowing cast lands just before the accumulate."""
+    the narrowing cast lands just before the accumulate.
+
+    NARROW mode (round 5): the caller proved the drop's nonzero
+    content fits one 128-lane tile and DMA'd only that tile into the
+    bank's FIRST lane tile; ``s`` arrives relative to that tile
+    (s + span <= LANE). The roll then places every nonzero lane at its
+    final position inside lanes [0, LANE) and the wrapped lanes
+    (j < s, which hold eval lanes >= LANE - s >= span) are zero by the
+    containment contract — one unmasked add, no second tile."""
     assert pw2 == 2 * LANE, pw2   # strip windows always plan 2 tiles
     the = g.shape[0]
     dtype = scr_bank.dtype
@@ -228,6 +255,10 @@ def _accum_rows_strip(scr_bank, g, prm, n_planes, s, ds, pw2, tile_h,
         rolled = pltpu.roll(flat, jnp.mod(s, LANE),
                             1).reshape(n_planes, tile_h,
                                        LANE).astype(dtype)
+    if narrow:
+        for i in range(n_planes):
+            scr_bank[i, :, 0:LANE] = scr_bank[i, :, 0:LANE] + rolled[i]
+        return
     j = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     for i in range(n_planes):
         scr_bank[i, :, 0:LANE] = (
@@ -248,10 +279,13 @@ def _make_kernel(r_ranks: int, modes_y: int, modes_x: int,
     stay serial relative to each other: all writes are quiesced before
     the step ends, so the next grid step's reads are ordered."""
     def kernel(n_ref, ax_ref, ay_ref,
+               wd_ref,            # per-drop wide flag (narrow mode;
+                                  # multi-tile windows are always wide)
                prm_ref,           # VMEM block (1, 1, 128) — param lane
                ayc_ref,           # VMEM block (1, 1, R, MYP)
                bxc_ref,           # VMEM block (1, 1, R, MXP)
                in_f, out_f, scr2, sems_r, sems_w):
+        del wd_ref
         # scr2: (2, n_planes, TILE_H, PW2); sems_r/sems_w: DMA (2,).
         b = pl.program_id(0)
         c = pl.program_id(1)
@@ -316,6 +350,7 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                            th: int, tw: int, n_planes: int,
                            strip_pad: int = 0, sub: int = SUBLANE,
                            row_strip: bool = True, pair: bool = False,
+                           narrow: bool = False,
                            ablate: frozenset = frozenset()):
     """Depth-3 pipelined kernel (single-tile windows only).
 
@@ -349,6 +384,25 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
     Banks are indexed statically by unrolling the grid step mod 3
     (dynamic semaphore indices are not relied on).
 
+    NARROW MODE (round 5, ``narrow=True``; requires strip mode): the
+    round-5 cost ablation priced the 0.80 us per-valid-drop constant
+    at 72% window DMA bytes (read 0.343 + write 0.299 us — the kernel
+    streams window traffic at ~550 GB/s of the ~819 peak, i.e. it is
+    BANDWIDTH-bound, not step-overhead-bound). Most strip drops'
+    content + tails fit a single 128-lane tile: the caller anchors
+    those windows at the content's OWN lane tile and flags them via
+    the scalar-prefetched ``wd`` row, and every window DMA of a narrow
+    step copies (n_planes, tile_h, LANE) — HALF the bytes — into the
+    bank's first lane tile; the accumulate becomes one unmasked add
+    (the roll's wrapped lanes are zero by the containment contract,
+    see _accum_rows_strip). The hazard SCHEDULE is untouched: issue
+    and wait sites are identical, only each copy's static shape
+    switches on wide(j), a pure function of step j's prefetched
+    scalars, so every wait reconstructs exactly the descriptor its
+    issue used. The overlap predicate stays the conservative
+    full-width test (narrow windows are subsets of wide ones at the
+    same anchor), which can only add waits, never miss one.
+
     PAIR MODE (round 3, ``pair=True``; requires strip mode with
     pw + 2*strip_pad <= LANE/2): two consecutive drops are evaluated
     in ONE patch eval, side by side in the two 64-lane halves of the
@@ -367,7 +421,8 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
     "nowrite" drop the window DMAs (with their waits); "nordwait"
     keeps the read issues but skips the read wait (prices latency
     exposure vs issue cost). Any non-empty set renders garbage by
-    design.
+    design. Knockouts compose with narrow mode (the ablated DMAs are
+    simply the narrow/wide-shaped ones).
     """
     ab_eval = "noeval" in ablate
     ab_roll = "noroll" in ablate
@@ -375,8 +430,9 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
     ab_read = "noread" in ablate
     ab_write = "nowrite" in ablate
     ab_rdwait = ("nordwait" in ablate) or ab_read
-    def kernel(n_ref, ax_ref, ay_ref, prm_ref, ayc_ref, bxc_ref,
-               *rest):
+    assert not narrow or strip_pad, "narrow mode requires strip mode"
+    def kernel(n_ref, ax_ref, ay_ref, wd_ref, prm_ref, ayc_ref,
+               bxc_ref, *rest):
         if pair:
             (prm2_ref, ayc2_ref, bxc2_ref, in_f, out_f,
              scr3, stash, sems_r, sems_w) = rest
@@ -400,9 +456,37 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
             return (pl.multiple_of(ax_ref[idx], 128),
                     pl.multiple_of((ay_ref[idx] // sub) * sub, sub))
 
+        def wide_at(off):
+            if not narrow:
+                return None
+            idx = jnp.clip(fi + off, b * cap, b * cap + cap - 1)
+            return wd_ref[idx] != 0
+
         def win_at(a):
             return out_f.at[b, :, pl.ds(a[1], tile_h),
                             pl.ds(a[0], pw2)]
+
+        def win_dma(a, bank, wide, write, wait):
+            """One window<->bank DMA site: start (wait=False) or wait
+            (wait=True) the read (write=False) or write DMA of the
+            step whose window anchor is ``a`` and wide flag ``wide``.
+            Narrow steps copy only the bank's first lane tile — issue
+            and wait pick the SAME shape from the same predicate, so
+            semaphore byte counts always match."""
+            sems = sems_w if write else sems_r
+
+            def go(win, bk):
+                src, dst = (bk, win) if write else (win, bk)
+                cp = pltpu.make_async_copy(src, dst, sems.at[bank])
+                cp.wait() if wait else cp.start()
+
+            if not narrow:
+                go(win_at(a), scr3.at[bank])
+                return
+            pl.when(wide)(lambda: go(win_at(a), scr3.at[bank]))
+            pl.when(~wide)(lambda: go(
+                out_f.at[b, :, pl.ds(a[1], tile_h), pl.ds(a[0], LANE)],
+                scr3.at[bank, :, :, pl.ds(0, LANE)]))
 
         def ov(a, bb):
             return ((jnp.abs(a[0] - bb[0]) < pw2)
@@ -418,6 +502,9 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
             a_c = anchors(0)
             a_m1, a_m2, a_m3 = anchors(-1), anchors(-2), anchors(-3)
             a_p1 = anchors(1)
+            wd_c = wide_at(0)
+            wd_m1, wd_m2, wd_m3 = wide_at(-1), wide_at(-2), wide_at(-3)
+            wd_p1 = wide_at(1)
 
             hz1_c = (c >= 1) & ov(a_c, a_m1)
             hz2_c = (c >= 2) & ov(a_c, a_m2)
@@ -435,24 +522,18 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
                 @pl.when((c % 3) == par)
                 def _(cur=cur, m1=m1, m2=m2):
-                    w_c = win_at(a_c)
-                    w_m1 = win_at(a_m1)
-                    w_m2 = win_at(a_m2)
-                    w_m3 = win_at(a_m3)
-                    w_p1 = win_at(a_p1)
-
                     if not ab_write:
                         # t1: fallback read(c) overlaps write(c-1).
                         @pl.when(hz1_c)
                         def _():
-                            pltpu.make_async_copy(
-                                scr3.at[m1], w_m1, sems_w.at[m1]).wait()
+                            win_dma(a_m1, m1, wd_m1, write=True,
+                                    wait=True)
 
                         # t2: fallback read(c) overlaps write(c-2).
                         @pl.when(hz2_c & ~hz1_cm1)
                         def _():
-                            pltpu.make_async_copy(
-                                scr3.at[m2], w_m2, sems_w.at[m2]).wait()
+                            win_dma(a_m2, m2, wd_m2, write=True,
+                                    wait=True)
 
                     # Fallback/prologue read(c) into bank cur.
                     @pl.when(~prefetched_c)
@@ -461,13 +542,11 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                             # t3-late: bank cur still owed write(c-3).
                             @pl.when((c >= 3) & ~hz1_cm2 & ~hz2_cm1)
                             def _():
-                                pltpu.make_async_copy(
-                                    scr3.at[cur], w_m3,
-                                    sems_w.at[cur]).wait()
+                                win_dma(a_m3, cur, wd_m3, write=True,
+                                        wait=True)
                         if not ab_read:
-                            pltpu.make_async_copy(
-                                w_c, scr3.at[cur],
-                                sems_r.at[cur]).start()
+                            win_dma(a_c, cur, wd_c, write=False,
+                                    wait=False)
 
                     # Prefetch read(c+1) into bank m2 (== (c+1) % 3).
                     @pl.when(prefetch_next)
@@ -476,13 +555,11 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                             # t3-early: free that bank of write(c-2).
                             @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
                             def _():
-                                pltpu.make_async_copy(
-                                    scr3.at[m2], w_m2,
-                                    sems_w.at[m2]).wait()
+                                win_dma(a_m2, m2, wd_m2, write=True,
+                                        wait=True)
                         if not ab_read:
-                            pltpu.make_async_copy(
-                                w_p1, scr3.at[m2],
-                                sems_r.at[m2]).start()
+                            win_dma(a_p1, m2, wd_p1, write=False,
+                                    wait=False)
 
             if strip_pad:
                 # Strip mode (round 3): this bucket's content + erf
@@ -587,13 +664,22 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
                 @pl.when((c % 3) == par)
                 def _(cur=cur, m1=m1, m2=m2):
-                    w_c = win_at(a_c)
                     if not ab_rdwait:
-                        pltpu.make_async_copy(
-                            w_c, scr3.at[cur], sems_r.at[cur]).wait()
+                        win_dma(a_c, cur, wd_c, write=False, wait=True)
 
                     if not ab_accum:
-                        if strip_pad:
+                        if strip_pad and narrow:
+                            # Narrow steps place with one unmasked add
+                            # into the bank's first lane tile; wide
+                            # steps keep the two masked tile adds.
+                            pl.when(wd_c)(lambda: _accum_rows_strip(
+                                scr3.at[cur], g, prm, n_planes, s, ds,
+                                pw2, tile_h, no_roll=ab_roll))
+                            pl.when(~wd_c)(lambda: _accum_rows_strip(
+                                scr3.at[cur], g, prm, n_planes, s, ds,
+                                pw2, tile_h, no_roll=ab_roll,
+                                narrow=True))
+                        elif strip_pad:
                             _accum_rows_strip(scr3.at[cur], g, prm,
                                               n_planes, s, ds, pw2,
                                               tile_h, no_roll=ab_roll)
@@ -601,27 +687,24 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                             _accum_rows(scr3.at[cur], g, prm, n_planes)
 
                     if not ab_write:
-                        pltpu.make_async_copy(
-                            scr3.at[cur], w_c, sems_w.at[cur]).start()
+                        win_dma(a_c, cur, wd_c, write=True, wait=False)
 
                         # Cleanup: quiesce writes whose scheduled wait
                         # point lies beyond the last valid step.
                         @pl.when(c == n - 1)
                         def _():
-                            pltpu.make_async_copy(
-                                scr3.at[cur], w_c, sems_w.at[cur]).wait()
+                            win_dma(a_c, cur, wd_c, write=True,
+                                    wait=True)
 
                             @pl.when((c >= 1) & ~hz1_c)
                             def _():
-                                pltpu.make_async_copy(
-                                    scr3.at[m1], win_at(a_m1),
-                                    sems_w.at[m1]).wait()
+                                win_dma(a_m1, m1, wd_m1, write=True,
+                                        wait=True)
 
                             @pl.when((c >= 2) & ~hz1_cm1 & ~hz2_c)
                             def _():
-                                pltpu.make_async_copy(
-                                    scr3.at[m2], win_at(a_m2),
-                                    sems_w.at[m2]).wait()
+                                win_dma(a_m2, m2, wd_m2, write=True,
+                                        wait=True)
 
     return kernel
 
@@ -642,7 +725,8 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
                            row_strip: bool = True,  # static
                            pair: bool = False,      # static
                            interpret: bool = False,
-                           ablate: str = ""):       # static, tools only
+                           ablate: str = "",        # static, tools only
+                           wide=None):  # (B, C) int32, None = all wide
     """Run the fused kernel for one bucket. Anchors are raw (pre-clip
     [0,W]x[0,H]); tile alignment happens here (coordinates shift inside
     the kernel, so no patch pre-shifting is needed). ``fields`` stacks
@@ -650,7 +734,15 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
     sat_b]) on axis 1 — 8 planes enable the saturation-mask
     accumulation; the stacked layout lets one strided DMA descriptor
     move a whole window (5-8x fewer descriptors than per-plane
-    copies)."""
+    copies).
+
+    ``wide`` (narrow DMA mode, round 5; strip buckets only): per-drop
+    0/1 flags — 0 marks a drop whose content + erf tails fit entirely
+    inside the single 128-lane tile its anchor addresses (caller
+    contract: anchor_x = clip(floor(mincx) - strip_pad, 0, W) and
+    (anchor_x %% 128) + pw + 2*strip_pad <= 128), whose window DMAs
+    then move HALF the bytes. Pass None to disable (all windows
+    wide)."""
     n_planes = fields.shape[1]
     assert n_planes in (5, 8), n_planes
     bsz, _, c = params.shape
@@ -686,10 +778,11 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
         if strip_pad and pw2 <= LANE:
             strip_pad = 0   # window is already one lane-tile wide
         pair = bool(pair) and strip_pad > 0
+        narrow = wide is not None and strip_pad > 0
         kernel = _make_kernel_pipelined(
             r_ranks, modes_y, modes_x, tex_hw[0], tex_hw[1], n_planes,
             strip_pad=strip_pad, sub=sub, row_strip=row_strip,
-            pair=pair,
+            pair=pair, narrow=narrow,
             ablate=frozenset(ablate.split("+")) - {""} if ablate
             else frozenset())
         the = tile_h - sub if row_strip else tile_h
@@ -737,7 +830,7 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(bsz, c),
         in_specs=per_drop_specs + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -746,14 +839,16 @@ def fused_raster_composite(params: jnp.ndarray,    # (B, N_PARAMS, C) f32
     operands = [prm, ayc_p, bxc_p]
     if pair:
         operands += [prm, ayc_p, bxc_p]
+    wd = (jnp.ones((bsz, c), jnp.int32) if wide is None
+          else wide.astype(jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, n_planes, hp, wp),
                                        dtype),
-        input_output_aliases={(9 if pair else 6): 0},
+        input_output_aliases={(10 if pair else 7): 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(n_valid.astype(jnp.int32), ax.reshape(-1), ay.reshape(-1),
-      *operands, fields)
+      wd.reshape(-1), *operands, fields)
     return out

@@ -811,13 +811,28 @@ def raster_params_frame(drops: DropBatch,
                         image_wh,
                         cfg: RasterConfig,
                         apply_defocus: bool,
-                        fourier):
+                        fourier,
+                        field_sublane: int = 8):
     """Per-bucket parameter tensors for the fused Pallas kernel
     (ops/pallas/fused_kernel): geometry rows of the (N_PARAMS, C) param
     matrix (blend/saturation rows stay zero for the caller to fill),
     raw anchors, damped DCT coefficients, validity. No patch is
     materialized.
+
+    For strip-mode buckets the x anchor is the CONTENT strip start
+    (clip(floor(mincx) - strip_pad, 0, W)) rather than minC - shift:
+    the kernel lane-aligns it down to the drop's own lane tile, so
+    drops whose content + tails fit that single tile — flagged 0 in
+    the per-bucket ``wide`` row — qualify for the narrow window DMA
+    (half the window bytes; fused_kernel NARROW MODE). Both bases
+    satisfy the strip contract (content in [ax + s, ax + s + 128));
+    ``field_sublane`` must match the field-plane dtype's sublane (8
+    f32 / 16 bf16) so the strip/plan decision here agrees with the
+    render caller's.
     """
+    from raintpu.ops.pallas.fused_kernel import (LANE as _LANE,
+                                                 bucket_strip_pad)
+
     w_img, h_img = image_wh
     bucket_id = _route_buckets(drops, geom, cfg)
 
@@ -834,8 +849,16 @@ def raster_params_frame(drops: DropBatch,
         t_sel = tex_idx[idx]
 
         a = minc - shift[:, None].astype(minc.dtype)
-        ax = jnp.clip(a[:, 0], 0.0, float(w_img)).astype(jnp.int32)
         ay = jnp.clip(a[:, 1], 0.0, float(h_img)).astype(jnp.int32)
+        pad = bucket_strip_pad(b.ph, b.pw, b.radius, field_sublane)
+        if pad:
+            span = b.pw + 2 * pad
+            ax = jnp.clip(jnp.floor(minc[:, 0]) - pad, 0.0,
+                          float(w_img)).astype(jnp.int32)
+            wide = ((ax % _LANE) + span > _LANE).astype(jnp.int32)
+        else:
+            ax = jnp.clip(a[:, 0], 0.0, float(w_img)).astype(jnp.int32)
+            wide = jnp.ones_like(ax)
 
         (ayc, bxc, m_out, ul, uu, vl, vu, sig_x, sig_y) = \
             fourier_drop_coefficients(
@@ -859,6 +882,7 @@ def raster_params_frame(drops: DropBatch,
         ], axis=0)                                       # (N_PARAMS, C)
         out.append(dict(params=params,
                         anchor=jnp.stack([ax, ay], -1),
+                        wide=wide,
                         ayc=ayc, bxc=bxc, drop_idx=idx,
                         valid=sel_valid, overflow=overflow))
     return out

@@ -86,6 +86,17 @@ class PipelineConfig:
     # recurrence (the kernel's VPU roofline) runs once per pair. DMAs
     # and hazards stay per-drop. Off switch for A/B and debugging.
     pair_eval: bool = True
+    # Narrow window DMAs: strip-mode drops whose content + erf tails
+    # fit one 128-lane tile (the majority on the hot rungs — span 48
+    # of 128 lanes -> ~62% at uniform anchors) move HALF the window
+    # bytes per read and write. The round-5 cost ablation priced the
+    # 0.80 us per-valid-drop constant at 72% window-DMA bytes
+    # (~550 GB/s streaming — the kernel is bandwidth-bound), so this
+    # attacks the dominant term directly. The DMA hazard schedule is
+    # unchanged (only each copy's shape switches on a per-step scalar
+    # flag); validated bit-exact vs the wide kernel in interpret and
+    # value-gated on hardware like pair/row_strip. Off switch for A/B.
+    narrow_dma: bool = True
     # Extra block-reduction of the envmap features used ONLY for the
     # per-drop cone photometry (on top of env_downsample): solid-angle
     # weights are summed per block (integrals preserved); the inside
@@ -509,7 +520,8 @@ def drop_fused_params(env_rgb, drops: DropBatch, textures,
 
     buckets = raster_ops.raster_params_frame(
         drops, geom_d, tex_hw, tex_idx, cfg.image_wh, cfg.raster,
-        apply_defocus=physics, fourier=fourier)
+        apply_defocus=physics, fourier=fourier,
+        field_sublane=16 if cfg.fields_dtype == "bfloat16" else 8)
     from raintpu.ops.pallas.fused_kernel import (P_ADDB, P_ADDG, P_ADDR,
                                                  P_LO, P_SATB, P_SATG,
                                                  P_SATR)
@@ -548,6 +560,7 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     first drop (may be traced), keeping per-drop RNG layout-invariant.
     """
     from raintpu.ops.pallas.fused_kernel import (LANE, SUBLANE,
+                                                 bucket_strip_pad,
                                                  fused_raster_composite,
                                                  plan_window)
 
@@ -606,20 +619,26 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
             # when the bucket's content + erf tails provably fit
             # (content <= pw, defocus sigma <= radius/4 -> 5-sigma
             # tail <= 1.25 * radius). Halves the kernel's VPU work on
-            # the narrow buckets that dominate the population.
-            pad = int(1.25 * bspec.radius) + 2
-            strip = pad if bspec.pw + 2 * pad <= LANE else 0
+            # the narrow buckets that dominate the population. The
+            # shared bucket_strip_pad keeps this decision consistent
+            # with the anchor basis raster_params_frame chose.
+            strip = bucket_strip_pad(bspec.ph, bspec.pw, bspec.radius,
+                                     sub)
             # Pair mode: two drops per patch eval in the lane halves
             # when content + tails fit in 64 lanes (the hot narrow
             # rungs) — the series eval runs once per pair.
             pair = (cfg.pair_eval and strip > 0
-                    and bspec.pw + 2 * pad <= LANE // 2)
+                    and bspec.pw + 2 * strip <= LANE // 2)
+            # Narrow DMA mode: single-lane-tile windows for the drops
+            # flagged 0 in the bucket's wide row (see PipelineConfig).
+            wide = (bk["wide"][c0:c1]
+                    if cfg.narrow_dma and strip > 0 else None)
             fields = fused_raster_composite(
                 bk["params"][c0:c1], bk["anchor"][c0:c1],
                 bk["ayc"][c0:c1], bk["bxc"][c0:c1], n_valid,
                 fields, window_hw=plan, tex_hw=tuple(tex_hw),
                 strip_pad=strip, row_strip=cfg.row_strip, pair=pair,
-                interpret=interpret)
+                interpret=interpret, wide=wide)
         chunks.append(fields)
     fields = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks,
                                                                 axis=0)
@@ -757,8 +776,9 @@ def resolve_kernel_modes(cfg: PipelineConfig,
         return cfg
     if jax.default_backend() != "tpu":
         return cfg
-    key = (cfg.pair_eval, cfg.row_strip, cfg.fields_dtype)
-    if key == (False, False, "float32") and not _floor_check:
+    key = (cfg.pair_eval, cfg.row_strip, cfg.fields_dtype,
+           cfg.narrow_dma)
+    if key == (False, False, "float32", False) and not _floor_check:
         return cfg  # the proven floor — gated only via degradation
     rec = _MODE_GATE.get(key)
     if rec is None:
@@ -772,8 +792,8 @@ def resolve_kernel_modes(cfg: PipelineConfig,
         # it: the official bench must verify the actual hardware).
         import os as _os
         fresh = _os.environ.get("RAINTPU_GATE_FRESH", "0") == "1"
-        key_str = "%s|pair=%s,row_strip=%s,dtype=%s" % (
-            _gate_fingerprint(), key[0], key[1], key[2])
+        key_str = "%s|pair=%s,row_strip=%s,dtype=%s,narrow=%s" % (
+            _gate_fingerprint(), key[0], key[1], key[2], key[3])
         rec = None if fresh else _gate_cache_load().get(key_str)
         if rec is None:
             from raintpu.tools.tpu_selfcheck import kernel_modes_ok
@@ -788,14 +808,16 @@ def resolve_kernel_modes(cfg: PipelineConfig,
     if rec["ok"]:
         return cfg
     from raintpu.utils.logging import print_warning
-    if cfg.pair_eval or cfg.row_strip:
+    if cfg.pair_eval or cfg.row_strip or cfg.narrow_dma:
         print_warning(
-            "kernel modes pair_eval=%s row_strip=%s dtype=%s diverged "
-            "from interpret on this backend (%s); falling back to the "
-            "plain-strip kernel" % (key[0], key[1], key[2],
-                                    rec["error"] or "value mismatch"))
+            "kernel modes pair_eval=%s row_strip=%s dtype=%s "
+            "narrow_dma=%s diverged from interpret on this backend "
+            "(%s); falling back to the plain-strip kernel"
+            % (key[0], key[1], key[2], key[3],
+               rec["error"] or "value mismatch"))
         return resolve_kernel_modes(dataclasses.replace(
-            cfg, pair_eval=False, row_strip=False), _floor_check=True)
+            cfg, pair_eval=False, row_strip=False, narrow_dma=False),
+            _floor_check=True)
     if cfg.fields_dtype != "float32":
         print_warning(
             "fields_dtype=%s is unusable on this backend (%s); falling "
@@ -811,8 +833,8 @@ def resolve_kernel_modes(cfg: PipelineConfig,
 
 def mode_gate_report() -> dict:
     """Gate outcomes observed this process (for bench JSON disclosure)."""
-    rep = {f"pair={k[0]},row_strip={k[1]},dtype={k[2]}": dict(v)
-           for k, v in _MODE_GATE.items()}
+    rep = {f"pair={k[0]},row_strip={k[1]},dtype={k[2]},narrow={k[3]}":
+           dict(v) for k, v in _MODE_GATE.items()}
     from raintpu.ops.pallas.blur_kernel import _BLUR_GATE
     if "ok" in _BLUR_GATE:
         rep["pallas_fog_blur"] = {"ok": _BLUR_GATE["ok"]}

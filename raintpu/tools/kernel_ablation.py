@@ -31,6 +31,7 @@ from raintpu.render.camera import CameraSettings, RenderSettings
 from raintpu.render.frame import (PipelineConfig, drop_fused_params,
                                   frame_background)
 from raintpu.ops.pallas.fused_kernel import (LANE, SUBLANE,
+                                             bucket_strip_pad,
                                              fused_raster_composite,
                                              plan_window)
 
@@ -83,7 +84,7 @@ hp = (H // sub) * sub + max(p[0] for p in plans)
 wp = (W // LANE) * LANE + max(p[1] for p in plans)
 
 
-def time_variant(bi, nval_cap, pair, ablate):
+def time_variant(bi, nval_cap, pair, ablate, narrow=False):
     bk = buckets[bi]
     bspec = bspecs[bi]
     plan = plans[bi]
@@ -94,23 +95,23 @@ def time_variant(bi, nval_cap, pair, ablate):
     n_valid = jnp.minimum(
         jnp.sum(jnp.asarray(bk["valid"]).astype(jnp.int32), axis=1),
         nval_cap).astype(jnp.int32)
-    pad = int(1.25 * bspec.radius) + 2
-    strip = pad if bspec.pw + 2 * pad <= LANE else 0
-    pair = pair and strip > 0 and bspec.pw + 2 * pad <= LANE // 2
+    strip = bucket_strip_pad(bspec.ph, bspec.pw, bspec.radius, sub)
+    pair = pair and strip > 0 and bspec.pw + 2 * strip <= LANE // 2
+    wide = jnp.asarray(bk["wide"]) if narrow and strip > 0 else None
 
-    def many(params, anchor, ayc, bxc, n_valid):
+    def many(params, anchor, ayc, bxc, n_valid, wide):
         def body(i, acc):
             p = params + i.astype(jnp.float32) * 1e-12
             fields = jnp.zeros((B, 5, hp, wp), jnp.float32)
             out = fused_raster_composite(
                 p, anchor, ayc, bxc, n_valid, fields,
                 window_hw=plan, tex_hw=tex_hw, strip_pad=strip,
-                row_strip=True, pair=pair, ablate=ablate)
+                row_strip=True, pair=pair, ablate=ablate, wide=wide)
             return acc + jnp.sum(out[:, 0, ::131, ::131])
         return lax.fori_loop(0, ITERS, body, 0.0)
 
     f = jax.jit(many)
-    args = (params, anchor, ayc, bxc, n_valid)
+    args = (params, anchor, ayc, bxc, n_valid, wide)
     float(f(*args))
     t0 = time.perf_counter()
     float(f(*args))
@@ -122,15 +123,19 @@ def time_variant(bi, nval_cap, pair, ablate):
 # Cumulative knockout ladder: each line strips ONE more component; the
 # difference to the previous line prices that component.
 LADDER = [
-    ("pair (production)", True, ""),
-    ("single full", False, ""),
-    ("- eval", False, "noeval"),
-    ("- eval - roll", False, "noeval+noroll"),
-    ("- eval - accum", False, "noeval+noaccum"),
-    ("- eval - accum - rdwait", False, "noeval+noaccum+nordwait"),
-    ("- eval - accum - write", False, "noeval+noaccum+nowrite"),
+    ("narrow single", False, "", True),
+    ("narrow + pair (prod)", True, "", True),
+    ("pair wide", True, "", False),
+    ("single full", False, "", False),
+    ("- eval", False, "noeval", False),
+    ("- eval - roll", False, "noeval+noroll", False),
+    ("- eval - accum", False, "noeval+noaccum", False),
+    ("- eval - accum - rdwait", False, "noeval+noaccum+nordwait",
+     False),
+    ("- eval - accum - write", False, "noeval+noaccum+nowrite",
+     False),
     ("- eval - accum - dma", False,
-     "noeval+noaccum+nowrite+noread"),
+     "noeval+noaccum+nowrite+noread", False),
 ]
 
 for bi in RUNGS:
@@ -139,12 +144,12 @@ for bi in RUNGS:
     print(f"== rung{bi} ({bspec.ph},{bspec.pw},{bspec.radius}) "
           f"cap={cap} window={plans[bi]}", flush=True)
     prev = None
-    for label, pair, ablate in LADDER:
-        ms0, _ = time_variant(bi, 0, pair, ablate)
-        ms1, mv = time_variant(bi, cap, pair, ablate)
+    for label, pair, ablate, narrow in LADDER:
+        ms0, _ = time_variant(bi, 0, pair, ablate, narrow)
+        ms1, mv = time_variant(bi, cap, pair, ablate, narrow)
         v = (ms1 - ms0) * 1000.0 / (mv * B)
         delta = "" if prev is None else f"  (saves {prev - v:+.3f})"
-        if label != "pair (production)":
+        if not label.startswith("narrow") and label != "pair wide":
             prev = v
         print(f"  {label:<24s} v = {v:6.3f} us/drop "
               f"[{ms0:7.3f} -> {ms1:7.3f} ms, mean_valid {mv:.1f}]"

@@ -30,6 +30,7 @@ from raintpu.render.camera import CameraSettings, RenderSettings
 from raintpu.render.frame import (PipelineConfig, drop_fused_params,
                                   frame_background)
 from raintpu.ops.pallas.fused_kernel import (LANE, SUBLANE,
+                                             bucket_strip_pad,
                                              fused_raster_composite,
                                              plan_window)
 
@@ -37,6 +38,7 @@ B = 48
 H, W = 375, 1242
 FALLRATE = float(os.environ.get("FR", "10"))
 ITERS = 30
+NARROW = os.environ.get("NARROW", "1") == "1"
 
 settings = RenderSettings(camera=CameraSettings())
 raster = RasterConfig(buckets=(
@@ -84,6 +86,10 @@ wp = (W // LANE) * LANE + max(p[1] for p in plans)
 print(f"# batch {B}, {FALLRATE} mm/hr; per-rung n_valid mean: "
       + str([float(np.mean(np.sum(bk["valid"], axis=1)))
              for bk in buckets]), flush=True)
+print(f"# narrow={NARROW}; per-rung narrow fraction (valid drops): "
+      + str([round(float((np.sum((bk['wide'] == 0) & bk['valid'])
+                          + 1e-9) / (np.sum(bk['valid']) + 1e-9)), 3)
+             for bk in buckets]), flush=True)
 
 
 def time_bucket(bi, cap, nval):
@@ -105,23 +111,23 @@ def time_bucket(bi, cap, nval):
     n_valid = jnp.minimum(
         jnp.sum(jnp.asarray(bk["valid"]).astype(jnp.int32), axis=1),
         nval).astype(jnp.int32)
-    pad = int(1.25 * bspec.radius) + 2
-    strip = pad if bspec.pw + 2 * pad <= LANE else 0
-    pair = strip > 0 and bspec.pw + 2 * pad <= LANE // 2
+    strip = bucket_strip_pad(bspec.ph, bspec.pw, bspec.radius, sub)
+    pair = strip > 0 and bspec.pw + 2 * strip <= LANE // 2
+    wide = (padc(bk["wide"], 1) if NARROW and strip > 0 else None)
 
-    def many(params, anchor, ayc, bxc, n_valid):
+    def many(params, anchor, ayc, bxc, n_valid, wide):
         def body(i, acc):
             p = params + i.astype(jnp.float32) * 1e-12
             fields = jnp.zeros((B, 5, hp, wp), jnp.float32)
             out = fused_raster_composite(
                 p, anchor, ayc, bxc, n_valid, fields,
                 window_hw=plan, tex_hw=tex_hw, strip_pad=strip,
-                row_strip=True, pair=pair)
+                row_strip=True, pair=pair, wide=wide)
             return acc + jnp.sum(out[:, 0, ::131, ::131])
         return lax.fori_loop(0, ITERS, body, 0.0)
 
     f = jax.jit(many)
-    args = (params, anchor, ayc, bxc, n_valid)
+    args = (params, anchor, ayc, bxc, n_valid, wide)
     float(f(*args))
     t0 = time.perf_counter()
     float(f(*args))

@@ -69,7 +69,8 @@ def build_scene(B=2, H=96, W=256, fallrate=100.0, capacity=64):
 
 
 def kernel_modes_ok(pair_eval: bool, row_strip: bool,
-                    fields_dtype: str = "float32") -> bool:
+                    fields_dtype: str = "float32",
+                    narrow_dma: bool = False) -> bool:
     """Value-check one kernel-mode combination: compiled vs interpret.
 
     Renders the small self-check scene through the fused kernel with
@@ -91,7 +92,8 @@ def kernel_modes_ok(pair_eval: bool, row_strip: bool,
     cfg, (bg, depth, drops, tex, edges, keys) = build_scene()
     cfg = dataclasses.replace(cfg, pair_eval=pair_eval,
                               row_strip=row_strip,
-                              fields_dtype=fields_dtype)
+                              fields_dtype=fields_dtype,
+                              narrow_dma=narrow_dma)
 
     @partial(jax.jit, static_argnames=("interpret",))
     def run(bg, depth, drops, tex, edges, keys, interpret):

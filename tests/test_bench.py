@@ -77,7 +77,8 @@ def test_resolve_kernel_modes_downgrades_on_divergence(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     outcomes = {(True, True): False, (False, False): True}
 
-    def fake_check(pair, row_strip, fields_dtype="float32"):
+    def fake_check(pair, row_strip, fields_dtype="float32",
+                   narrow_dma=False):
         return outcomes[(pair, row_strip)]
 
     monkeypatch.setattr(tpu_selfcheck, "kernel_modes_ok", fake_check)
@@ -85,7 +86,8 @@ def test_resolve_kernel_modes_downgrades_on_divergence(monkeypatch):
 
     cfg = _cfg(pair_eval=True, row_strip=True)
     out = frame_mod.resolve_kernel_modes(cfg)
-    assert (out.pair_eval, out.row_strip) == (False, False)
+    assert (out.pair_eval, out.row_strip, out.narrow_dma) == (
+        False, False, False)
     report = frame_mod.mode_gate_report()
     assert any(not v["ok"] for v in report.values())
 
@@ -107,7 +109,8 @@ def test_resolve_kernel_modes_degrades_dtype(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
-    def fake_check(pair, row_strip, fields_dtype="float32"):
+    def fake_check(pair, row_strip, fields_dtype="float32",
+                   narrow_dma=False):
         if fields_dtype == "bfloat16":
             raise RuntimeError("Rotate with non-32-bit data")
         return True

@@ -313,6 +313,43 @@ def test_fused_kernel_overlap_chain():
     np.testing.assert_allclose(out_pair, ref, atol=2e-3)
     np.testing.assert_allclose(out_pair, out, atol=1e-6)
 
+    # NARROW DMA mode (round 5): content-tile anchors + per-drop wide
+    # flags, mirroring raster_params_frame's formulas. The same-window
+    # chain (slots 0-7) is all-narrow RMW hazards; slot 10 (mincx 380
+    # -> cs 372, 372 % 128 + 48 > 128) straddles a lane tile and stays
+    # wide — a mixed chain. Placement is position-absolute, so the
+    # planes must match the full kernel to fp-reassociation tolerance.
+    pad = 8
+    span = 32 + 2 * pad
+    cs = np.floor(params[:, 9, :]) - pad                    # (B, C)
+    ax_n = np.clip(cs, 0, 700).astype(np.int32)
+    wide = ((ax_n % 128) + span > 128).astype(np.int32)
+    nvalid_mask = np.arange(C)[None, :] < np.asarray(n_valid)[:, None]
+    n_nrw = int(((wide == 0) & nvalid_mask).sum())
+    n_wd = int(((wide == 1) & nvalid_mask).sum())
+    assert n_nrw > 0 and n_wd > 0, (n_nrw, n_wd)  # genuinely mixed
+    anchor_n = anchor.copy()
+    anchor_n[..., 0] = ax_n
+    for pair_mode in (False, True):
+        out_nrw = np.asarray(fused_raster_composite(
+            jnp.asarray(params), jnp.asarray(anchor_n),
+            jnp.asarray(ayc), jnp.asarray(bxc), jnp.asarray(n_valid),
+            jnp.zeros((B, 5, hp, wp), jnp.float32),
+            window_hw=plan, tex_hw=(TH, TW), strip_pad=pad,
+            row_strip=True, pair=pair_mode, interpret=True,
+            wide=jnp.asarray(wide)))
+        np.testing.assert_allclose(out_nrw, ref, atol=2e-3)
+        np.testing.assert_allclose(out_nrw, out, atol=1e-6)
+    # All-wide flags under the narrow trace pin the wide-DMA branch.
+    out_allw = np.asarray(fused_raster_composite(
+        jnp.asarray(params), jnp.asarray(anchor_n), jnp.asarray(ayc),
+        jnp.asarray(bxc), jnp.asarray(n_valid),
+        jnp.zeros((B, 5, hp, wp), jnp.float32),
+        window_hw=plan, tex_hw=(TH, TW), strip_pad=pad,
+        row_strip=True, pair=False, interpret=True,
+        wide=jnp.ones((B, C), jnp.int32)))
+    np.testing.assert_allclose(out_allw, out, atol=1e-6)
+
 
 def test_fused_multitile_buckets_match_xla():
     """The big-window buckets run the row-tiled kernel (n_tiles > 1:
