@@ -84,12 +84,31 @@ hp = (H // sub) * sub + max(p[0] for p in plans)
 wp = (W // LANE) * LANE + max(p[1] for p in plans)
 
 
-def time_variant(bi, nval_cap, pair, ablate, narrow=False):
+def time_variant(bi, nval_cap, pair, ablate, narrow=False,
+                 anchors_mode="real", plan_override=None):
+    """anchors_mode: "real" = the workload's anchors; "spread" =
+    synthetic anchors guaranteeing NO window overlaps between nearby
+    steps (pure-prefetch steady state — prices the hazard-fallback
+    serialization of the real workload); "chain" = every drop in one
+    window (maximal fallback chains). Placement changes make the
+    render wrong; the sum only forces completion."""
     bk = buckets[bi]
     bspec = bspecs[bi]
-    plan = plans[bi]
+    plan = plan_override or plans[bi]
     params = jnp.asarray(bk["params"])
     anchor = jnp.asarray(bk["anchor"])
+    if anchors_mode != "real":
+        nslots = anchor.shape[1]
+        i = np.arange(nslots)
+        if anchors_mode == "spread":
+            axs = (128 * (3 * i % 8)).astype(np.int32)     # 0..896
+            ays = (8 * ((5 * i) % 40)).astype(np.int32)    # 0..312
+        else:   # chain
+            axs = np.full(nslots, 256, np.int32)
+            ays = np.full(nslots, 64, np.int32)
+        a = np.broadcast_to(np.stack([axs, ays], -1)[None],
+                            (B, nslots, 2)).copy()
+        anchor = jnp.asarray(a)
     ayc = jnp.asarray(bk["ayc"])
     bxc = jnp.asarray(bk["bxc"])
     n_valid = jnp.minimum(
@@ -144,7 +163,11 @@ for bi in RUNGS:
     print(f"== rung{bi} ({bspec.ph},{bspec.pw},{bspec.radius}) "
           f"cap={cap} window={plans[bi]}", flush=True)
     prev = None
-    for label, pair, ablate, narrow in LADDER:
+    # LADDER=0 skips the knockout ladder (e.g. to run only the anchor
+    # bracket; the nordwait knockout leaves read semaphores unwaited
+    # and can wedge the device on long runs).
+    ladder = LADDER if os.environ.get("LADDER", "1") == "1" else []
+    for label, pair, ablate, narrow in ladder:
         ms0, _ = time_variant(bi, 0, pair, ablate, narrow)
         ms1, mv = time_variant(bi, cap, pair, ablate, narrow)
         v = (ms1 - ms0) * 1000.0 / (mv * B)
@@ -154,3 +177,29 @@ for bi in RUNGS:
         print(f"  {label:<24s} v = {v:6.3f} us/drop "
               f"[{ms0:7.3f} -> {ms1:7.3f} ms, mean_valid {mv:.1f}]"
               f"{delta}", flush=True)
+    # Hazard-serialization bracket: same kernel, synthetic anchors.
+    for mode in ("spread", "chain"):
+        ms0, _ = time_variant(bi, 0, False, "", anchors_mode=mode)
+        ms1, mv = time_variant(bi, cap, False, "", anchors_mode=mode)
+        v = (ms1 - ms0) * 1000.0 / (mv * B)
+        print(f"  anchors={mode:<17s} v = {v:6.3f} us/drop "
+              f"[{ms0:7.3f} -> {ms1:7.3f} ms, mean_valid {mv:.1f}]",
+              flush=True)
+    # DMA-scaling probe (DMAPROBE=1): pure window DMAs (no VPU work),
+    # spread anchors (no hazards), window tile_h swept. Segments/DMA =
+    # n_planes * tile_h, bytes = segments * pw2 * 4: if time scales
+    # with tile_h the DMA engine cost is per ROW SEGMENT (explains the
+    # narrow-DMA neutrality — narrow halves segment LENGTH, not
+    # count); if flat it is per-descriptor issue/wait.
+    if os.environ.get("DMAPROBE", "0") == "1" and bi == RUNGS[0]:
+        for th in (8, 16, 32, 64):
+            po = (th, plans[bi][1], th, 1)
+            ms0, _ = time_variant(bi, 0, False, "noeval+noaccum",
+                                  anchors_mode="spread",
+                                  plan_override=po)
+            ms1, mv = time_variant(bi, cap, False, "noeval+noaccum",
+                                   anchors_mode="spread",
+                                   plan_override=po)
+            v = (ms1 - ms0) * 1000.0 / (mv * B)
+            print(f"  dma-only tile_h={th:<3d}     v = {v:6.3f} "
+                  f"us/drop [{ms0:7.3f} -> {ms1:7.3f} ms]", flush=True)
