@@ -35,8 +35,8 @@ indistinguishably.
 
 A/B env knobs (replacing the retired _bench_dtype.py):
   BATCH, ITERS, HW ("375x1242"), FALLRATE, CAPACITY — workload shape
-  FIELDS_DTYPE (float32|bfloat16), ROW_STRIP=0, PAIR=0, NARROW=0 —
-  kernel levers
+  FIELDS_DTYPE (float32|bfloat16), ROW_STRIP=0, PAIR=0, NARROW=0,
+  RESIDENT=0 — kernel levers (RESIDENT=0 forces the windowed kernel)
   MODAL=0 — disable the modal-blur prep transform (RasterConfig.modal_blur)
   CDS=1 — cone_downsample for the per-drop cone photometry (default 4,
           the production setting: measured +21% honest throughput on
@@ -106,10 +106,12 @@ def main():
     want_pair = _env_flag("PAIR")
     want_row_strip = _env_flag("ROW_STRIP")
     want_narrow = _env_flag("NARROW")
+    want_resident = _env_flag("RESIDENT")
     cfg = PipelineConfig(settings=settings, image_hw=(H, W),
                          fallrate=FALLRATE, raster=raster,
                          pair_eval=want_pair, row_strip=want_row_strip,
                          narrow_dma=want_narrow,
+                         resident=want_resident,
                          fields_dtype=os.environ.get("FIELDS_DTYPE",
                                                      "float32"),
                          cone_downsample=int(os.environ.get("CDS", "4")))
@@ -120,8 +122,9 @@ def main():
     # fixed startup per process).
     os.environ.setdefault("RAINTPU_GATE_FRESH", "1")
     cfg = resolve_kernel_modes(cfg)
-    fallback_fired = ((cfg.pair_eval, cfg.row_strip, cfg.narrow_dma)
-                      != (want_pair, want_row_strip, want_narrow))
+    fallback_fired = (
+        (cfg.pair_eval, cfg.row_strip, cfg.narrow_dma, cfg.resident)
+        != (want_pair, want_row_strip, want_narrow, want_resident))
 
     # Simulate at full capacity (no population truncation), then pack
     # the valid drops down to the render capacity on device.
@@ -227,6 +230,7 @@ def main():
         "pair_eval": cfg.pair_eval,
         "row_strip": cfg.row_strip,
         "narrow_dma": cfg.narrow_dma,
+        "resident": cfg.resident,
         "fields_dtype": cfg.fields_dtype,
         "modal_blur": cfg.raster.modal_blur,
         "cone_downsample": cfg.cone_downsample,

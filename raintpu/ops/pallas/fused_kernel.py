@@ -187,10 +187,12 @@ def _plane_contribs(g, prm, n_planes):
 def _accum_rows(scr_bank, g, prm, n_planes):
     """scr_bank[i] += contribution_i(g) for the plane layout.
 
-    The planes may be bf16 (halves the window RMW bytes — the kernel
-    is HBM-bandwidth-bound on window traffic at the headline config);
-    contributions are computed in f32 and the accumulate rounds at
-    store, so the only loss is one bf16 rounding per overlapping drop."""
+    The planes may be bf16 (halves the window RMW bytes; built on the
+    bytes-bound hypothesis the round-5 ablation later REFUTED — the
+    window engine is per-tile-run-bound, and bf16 measured slower than
+    f32 end to end, so f32 stays the default); contributions are
+    computed in f32 and the accumulate rounds at store, so the only
+    loss is one bf16 rounding per overlapping drop."""
     for i, c in enumerate(_plane_contribs(g, prm, n_planes)):
         acc = scr_bank[i]
         scr_bank[i] = (acc.astype(jnp.float32) + c).astype(acc.dtype)
@@ -386,10 +388,16 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
 
     NARROW MODE (round 5, ``narrow=True``; requires strip mode): the
     round-5 cost ablation priced the 0.80 us per-valid-drop constant
-    at 72% window DMA bytes (read 0.343 + write 0.299 us — the kernel
-    streams window traffic at ~550 GB/s of the ~819 peak, i.e. it is
-    BANDWIDTH-bound, not step-overhead-bound). Most strip drops'
-    content + tails fit a single 128-lane tile: the caller anchors
+    at 72% window DMA (read 0.343 + write 0.299 us). Narrow windows
+    were built on the bytes-bound hypothesis and measured NEUTRAL —
+    the follow-up tile_h sweep showed the window engine's cost is
+    ~9.8 ns per (8-row x plane) tile RUN plus ~0.19 us/drop of
+    descriptor issue, independent of run LENGTH, so halving bytes at
+    equal run count buys nothing (BASELINE.md round-5). The mode is
+    kept (bit-exact, value-gated, and its containment flags drive the
+    resident kernel's single-tile accumulate) but it is not a perf
+    lever. Most strip drops' content + tails fit a single 128-lane
+    tile: the caller anchors
     those windows at the content's OWN lane tile and flags them via
     the scalar-prefetched ``wd`` row, and every window DMA of a narrow
     step copies (n_planes, tile_h, LANE) — HALF the bytes — into the
@@ -707,6 +715,470 @@ def _make_kernel_pipelined(r_ranks: int, modes_y: int, modes_x: int,
                                         wait=True)
 
     return kernel
+
+
+# --------------------------------------------------------------------
+# VMEM-resident variant (round 5): the whole padded field-plane stack
+# of ONE frame lives in a VMEM scratch bank; drops accumulate into it
+# with ordinary (8,128)-aligned dynamic loads/stores and the stack is
+# written to HBM once per frame. This deletes the windowed kernel's
+# per-drop read+write window DMAs and the entire RAW-hazard wait
+# schedule. Motivation (round-5 DMA ablation, v5e): the 0.80 us
+# per-valid-drop constant is ~72% window-DMA cost that is PER-TILE-RUN
+# (~9.8 ns per (8-row x plane) run; narrow windows halve the BYTES at
+# equal run count and measure neutral, and a tile_h sweep of DMA-only
+# kernels scales linearly) — so shrinking transfers can't win; only
+# removing them can. HBM traffic per frame drops from
+# ~n_drops * 2 * window_bytes (~77 MB at KITTI 10 mm/hr) to one
+# 13.7 MB stack write.
+# --------------------------------------------------------------------
+
+# VMEM budget for the resident stack(s): the hardware probe allocated
+# and ran a 28.2 MB scratch bank on v5e (plus eval temporaries); the
+# ceiling probe below (tools/kernel_ablation RESIDENT probes) refines
+# this. The reserve covers the eval temporaries (~25 live
+# (tile_h, 256) f32 buffers ~ 0.9 MB) plus compiler slack.
+RESIDENT_VMEM_BUDGET = 30 * (1 << 20)
+RESIDENT_EVAL_RESERVE = 4 * (1 << 20)
+
+
+def resident_depth(n_planes: int, hp: int, wp: int,
+                   budget: int = None) -> int:
+    """Write-pipeline depth for the VMEM-resident kernel at this
+    padded-plane size: 2 = double-banked (frame b+1 accumulates while
+    frame b's stack flies to HBM), 1 = single bank (write waited at
+    issue), 0 = stack does not fit VMEM — use the windowed kernel."""
+    if budget is None:
+        budget = RESIDENT_VMEM_BUDGET
+    stack = n_planes * hp * wp * 4
+    for d in (2, 1):
+        if d * stack + RESIDENT_EVAL_RESERVE <= budget:
+            return d
+    return 0
+
+
+def _accum_stack_full(stack_b, g, prm, n_planes, rows, kx, pw2):
+    """stack_b[i, kx+t, rows, :] += contribution_i(g)'s lane tile t.
+
+    The stack is LANE-TILED — (n_planes, NX, HP, 128) with the image
+    column tile as a separate (dynamically indexed, non-minor) axis —
+    because Mosaic legalizes a dynamic offset on the minormost axis of
+    a big VMEM ref catastrophically (probe: ~14.7 us/drop and worker
+    crashes under fori_loop vs 0.109 us/drop tiled)."""
+    for i, contrib in enumerate(_plane_contribs(g, prm, n_planes)):
+        for t in range(pw2 // LANE):
+            ct = contrib[:, t * LANE:(t + 1) * LANE]
+            w = stack_b[i, kx + t, rows, :]
+            stack_b[i, kx + t, rows, :] = w + ct
+
+
+def _accum_stack_strip(stack_b, g, prm, n_planes, s, ds, pw2, tile_h,
+                       ay0, kx, narrow, no_roll: bool = False):
+    """Strip-mode accumulate directly into the resident stack: same
+    contribution stacking + placement rolls as _accum_rows_strip (see
+    its docstring for the roll-safety argument), but the two static
+    lane tiles of the scratch bank become the two dynamically indexed
+    lane-tile slabs kx / kx+1 of the lane-tiled stack. ``narrow``: the
+    caller proved the drop's nonzero content fits the single lane tile
+    its anchor addresses (same contract as the windowed kernel's
+    narrow DMA mode), so one unmasked add into slab kx places it."""
+    assert pw2 == 2 * LANE, pw2
+    the = g.shape[0]
+    contribs = jnp.stack(_plane_contribs(g, prm, n_planes))
+    if the < tile_h:
+        contribs = jnp.pad(contribs,
+                           ((0, 0), (0, tile_h - the), (0, 0)))
+    flat = contribs.reshape(n_planes * tile_h, LANE)
+    if no_roll:
+        rolled = flat.reshape(n_planes, tile_h, LANE)
+    else:
+        if the < tile_h:
+            flat = pltpu.roll(flat, ds, 0)
+        rolled = pltpu.roll(flat, jnp.mod(s, LANE),
+                            1).reshape(n_planes, tile_h, LANE)
+    rows = pl.ds(ay0, tile_h)
+    if narrow:
+        for i in range(n_planes):
+            w = stack_b[i, kx, rows, :]
+            stack_b[i, kx, rows, :] = w + rolled[i]
+        return
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    for i in range(n_planes):
+        w0 = stack_b[i, kx, rows, :]
+        stack_b[i, kx, rows, :] = w0 + jnp.where(j >= s, rolled[i],
+                                                 0.0)
+        w1 = stack_b[i, kx + 1, rows, :]
+        stack_b[i, kx + 1, rows, :] = w1 + jnp.where(j < s, rolled[i],
+                                                     0.0)
+
+
+def _make_kernel_resident(rung_meta, th, tw, n_planes, hp, wp,
+                          bsz, depth, row_strip: bool, any_pair: bool,
+                          sub: int = SUBLANE,
+                          ablate: frozenset = frozenset()):
+    """All-rung VMEM-resident kernel over grid (B, C_total).
+
+    ``rung_meta``: static tuple of per-rung
+    (off, cap, tile_h, pw2, n_tiles, strip_pad, pair, r_ranks,
+    modes_y, modes_x) with offs = running capacity sums — the rung a
+    step belongs to is a STATIC range test on c.
+
+    Per frame: step 0 waits the frame-(b-depth) write-out of its bank
+    (double-banked: the previous frame's stack flies to HBM while this
+    frame accumulates into the other bank) and zeroes the bank; every
+    valid drop step evaluates its patch (identical strip / row-strip /
+    pair eval to the windowed kernel) and accumulates into the bank at
+    its (8,128)-aligned window position; the last step copies the bank
+    to out[b]. No per-drop DMAs, no RAW hazards: within a frame every
+    accumulate is an ordinary VMEM RMW, ordered by program order.
+
+    The stack is LANE-TILED — (n_planes, NX, hp, 128) — and the HBM
+    output keeps that layout (the caller transposes back to
+    (n_planes, hp, wp) in XLA): hardware probes showed Mosaic
+    legalizes dynamic offsets on a big VMEM ref's minormost axis
+    catastrophically (14.7 us/drop + fori_loop worker crashes), while
+    the tiled form costs 0.109 us/drop; and a per-(plane, tile)
+    relayout write-out crashes the Mosaic vector layout pass, so the
+    write stays one contiguous copy."""
+    ab_eval = "noeval" in ablate
+    ab_roll = "noroll" in ablate
+    ab_accum = "noaccum" in ablate
+    ab_zero = "nozero" in ablate
+    ab_write = "nowrite" in ablate
+    n_rungs = len(rung_meta)
+    nx = wp // LANE
+
+    def kernel(nv_ref, ax_ref, ay_ref, wd_ref, prm_ref, ayc_ref,
+               bxc_ref, *rest):
+        if any_pair:
+            (prm2_ref, ayc2_ref, bxc2_ref, out_ref, stack, stash,
+             sems) = rest
+        else:
+            out_ref, stack, sems = rest
+            stash = None
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        ct = pl.num_programs(1)
+        fi = b * ct + c
+
+        def prm(k):
+            return prm_ref[0, 0, 0, k]
+
+        # ---- frame prologue: retire the bank's in-flight write, zero.
+        @pl.when(c == 0)
+        def _():
+            for par in range(depth):
+                @pl.when((b % depth) == par)
+                def _(par=par):
+                    if depth > 1 and not ab_write:
+                        @pl.when(b >= depth)
+                        def _():
+                            pltpu.make_async_copy(
+                                stack.at[par], out_ref.at[b - depth],
+                                sems.at[par]).wait()
+                    if not ab_zero:
+                        # One giant assignment: measured ~free on v5e
+                        # (probe5 zgiant), where 8-row-slab store
+                        # loops cost ~40 us/frame.
+                        stack[par] = jnp.zeros(
+                            (n_planes, nx, hp, LANE), jnp.float32)
+
+        # ---- drop steps, one static branch per rung.
+        for ri, meta in enumerate(rung_meta):
+            (off, cap, tile_h, pw2, n_tiles, strip_pad, pair,
+             r_ranks, modes_y, modes_x) = meta
+
+            @pl.when((c >= off) & (c < off + cap)
+                     & ((c - off) < nv_ref[b * n_rungs + ri]))
+            def _(off=off, cap=cap, tile_h=tile_h, pw2=pw2,
+                  n_tiles=n_tiles, strip_pad=strip_pad, pair=pair,
+                  r_ranks=r_ranks, modes_y=modes_y, modes_x=modes_x):
+                ax = pl.multiple_of(ax_ref[fi], 128)
+                ay0 = pl.multiple_of((ay_ref[fi] // sub) * sub, sub)
+                if strip_pad:
+                    the = tile_h - sub if row_strip else tile_h
+                    s = jnp.clip(
+                        jnp.floor(prm(P_MINCX)).astype(jnp.int32)
+                        - strip_pad - ax, 0, pw2 - LANE)
+                    ds = ay_ref[fi] - ay0 if row_strip else 0
+                    if ab_eval:
+                        g = jnp.zeros((the, LANE), jnp.float32)
+                    elif pair:
+                        # Identical pair scheme to the windowed kernel
+                        # (see _make_kernel_pipelined PAIR MODE): even
+                        # in-rung steps evaluate drops (c, c+1) in the
+                        # lane halves into the stash; each step keeps
+                        # its own half. Rung capacities are even and
+                        # rung offsets even, so pairs never straddle a
+                        # rung boundary.
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, LANE), 1)
+                        half = lane < (LANE // 2)
+                        idx2 = jnp.minimum(fi + 1, b * ct + ct - 1)
+
+                        @pl.when((c % 2) == (off % 2))
+                        def _():
+                            def prmv(k):
+                                return jnp.where(
+                                    half, prm_ref[0, 0, 0, k],
+                                    prm2_ref[0, 0, 0, k])
+
+                            def cyv(r, m):
+                                return jnp.where(
+                                    half, ayc_ref[0, 0, r, m],
+                                    ayc2_ref[0, 0, r, m])
+
+                            def cxv(r, m):
+                                return jnp.where(
+                                    half, bxc_ref[0, 0, r, m],
+                                    bxc2_ref[0, 0, r, m])
+
+                            ax2 = pl.multiple_of(ax_ref[idx2], 128)
+                            ay02 = pl.multiple_of(
+                                (ay_ref[idx2] // sub) * sub, sub)
+                            s2 = jnp.clip(
+                                jnp.floor(prm2_ref[0, 0, 0, P_MINCX]
+                                          ).astype(jnp.int32)
+                                - strip_pad - ax2, 0, pw2 - LANE)
+                            ds2 = (ay_ref[idx2] - ay02 if row_strip
+                                   else 0)
+                            ox = jnp.where(half, ax + s,
+                                           ax2 + s2 - LANE // 2)
+                            oy = jnp.where(half, ay0 + ds, ay02 + ds2)
+                            stash[0:the, :] = _patch_eval(
+                                prmv, cyv, cxv, ox, oy, r_ranks,
+                                modes_y, modes_x, th, tw, the, LANE)
+
+                        keep = (lane // (LANE // 2)) == ((c - off) % 2)
+                        g = jnp.where(keep, stash[0:the, :], 0.0)
+                        s = jnp.where((c - off) % 2 == 0, s,
+                                      s - LANE // 2)
+                    else:
+                        g = _patch_eval(
+                            prm, lambda r, m: ayc_ref[0, 0, r, m],
+                            lambda r, m: bxc_ref[0, 0, r, m],
+                            ax + s, ay0 + ds, r_ranks, modes_y,
+                            modes_x, th, tw, the, LANE)
+                    if not ab_accum:
+                        wd = wd_ref[fi] != 0
+                        kx = ax // LANE
+                        for par in range(depth):
+                            @pl.when((b % depth) == par)
+                            def _(par=par):
+                                pl.when(wd)(
+                                    lambda: _accum_stack_strip(
+                                        stack.at[par], g, prm,
+                                        n_planes, s, ds, pw2, tile_h,
+                                        ay0, kx, narrow=False,
+                                        no_roll=ab_roll))
+                                pl.when(~wd)(
+                                    lambda: _accum_stack_strip(
+                                        stack.at[par], g, prm,
+                                        n_planes, s, ds, pw2, tile_h,
+                                        ay0, kx, narrow=True,
+                                        no_roll=ab_roll))
+                else:
+                    # Full-window eval (big rungs), row tile by row
+                    # tile — no pipelining needed: there are no DMAs
+                    # to hide.
+                    kx = ax // LANE
+                    for t in range(n_tiles):
+                        if ab_eval:
+                            g = jnp.zeros((tile_h, pw2), jnp.float32)
+                        else:
+                            g = _patch_eval(
+                                prm, lambda r, m: ayc_ref[0, 0, r, m],
+                                lambda r, m: bxc_ref[0, 0, r, m],
+                                ax, ay0 + t * tile_h, r_ranks,
+                                modes_y, modes_x, th, tw, tile_h, pw2)
+                        if not ab_accum:
+                            rows = pl.ds(ay0 + t * tile_h, tile_h)
+                            for par in range(depth):
+                                @pl.when((b % depth) == par)
+                                def _(par=par, g=g, rows=rows):
+                                    _accum_stack_full(
+                                        stack.at[par], g, prm,
+                                        n_planes, rows, kx, pw2)
+
+        # ---- frame epilogue: write the bank out.
+        if not ab_write:
+            @pl.when(c == ct - 1)
+            def _():
+                for par in range(depth):
+                    @pl.when((b % depth) == par)
+                    def _(par=par):
+                        cp = pltpu.make_async_copy(
+                            stack.at[par], out_ref.at[b],
+                            sems.at[par])
+                        cp.start()
+                        if depth == 1:
+                            cp.wait()
+
+                # Final frame: retire every in-flight write (an
+                # unwaited DMA semaphore wedges the device).
+                if depth > 1:
+                    @pl.when(b == bsz - 1)
+                    def _():
+                        if bsz >= 2:
+                            oth = (bsz - 2) % depth
+                            pltpu.make_async_copy(
+                                stack.at[oth], out_ref.at[b - 1],
+                                sems.at[oth]).wait()
+                        own = (bsz - 1) % depth
+                        pltpu.make_async_copy(
+                            stack.at[own], out_ref.at[b],
+                            sems.at[own]).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_planes", "bspecs", "tex_hw", "hp", "wp",
+                     "row_strip", "pair_eval", "depth", "interpret",
+                     "ablate"))
+def fused_raster_composite_resident(
+        params_list,    # tuple of (B, N_PARAMS, C_r) f32 per rung
+        anchor_list,    # tuple of (B, C_r, 2) int32 (raw)
+        wide_list,      # tuple of (B, C_r) int32
+        ayc_list,       # tuple of (B, C_r, R_r, My_r)
+        bxc_list,       # tuple of (B, C_r, R_r, Mx_r)
+        n_valid,        # (B, n_rungs) int32
+        *, n_planes: int, bspecs, tex_hw, hp: int, wp: int,
+        row_strip: bool = True, pair_eval: bool = True,
+        depth: int = 2, interpret: bool = False, ablate: str = ""):
+    """Run ALL rungs through the VMEM-resident kernel in ONE
+    pallas_call. Accumulation math and order are identical to calling
+    fused_raster_composite rung by rung (rung-major, slot-minor), so
+    the result is bit-exact vs the windowed kernel. f32 planes only
+    (the resident stack is f32 VMEM; callers wanting bf16 planes use
+    the windowed kernel). Returns (B, n_planes, hp, wp) f32 planes —
+    there is no `fields` input: the stack is zeroed in VMEM.
+
+    ``wide_list``: per-drop containment flags from
+    ops.rasterize.raster_params_frame — 0 marks a strip drop whose
+    content + tails fit the single lane tile its anchor addresses,
+    which accumulates with ONE unmasked tile add instead of two
+    masked ones (pure VPU saving here; no DMA meaning).
+    """
+    assert n_planes in (5, 8), n_planes
+    assert depth in (1, 2), depth
+    sub = SUBLANE
+    bsz = params_list[0].shape[0]
+    n_rungs = len(bspecs)
+    th, tw = tex_hw
+
+    plans = [plan_window(b.ph, b.pw, sub) for b in bspecs]
+    caps = [p.shape[-1] for p in params_list]
+    offs = [0]
+    for cp_ in caps[:-1]:
+        offs.append(offs[-1] + cp_)
+    c_tot = sum(caps)
+    r_max = max(a.shape[2] for a in ayc_list)
+
+    rung_meta = []
+    any_pair = False
+    for bi, (bspec, plan) in enumerate(zip(bspecs, plans)):
+        ph2, pw2, tile_h, n_tiles = plan
+        strip = bucket_strip_pad(bspec.ph, bspec.pw, bspec.radius, sub)
+        if strip and pw2 <= LANE:
+            strip = 0
+        pair = (bool(pair_eval) and strip > 0
+                and bspec.pw + 2 * strip <= LANE // 2)
+        if pair:
+            # Pairs must not straddle rung boundaries: the stash is
+            # shared between steps c (even in-rung) and c+1.
+            assert caps[bi] % 2 == 0 and offs[bi] % 2 == 0, (
+                caps, offs, bi)
+            any_pair = True
+        rung_meta.append((offs[bi], caps[bi], tile_h, pw2, n_tiles,
+                          strip, pair,
+                          ayc_list[bi].shape[2], ayc_list[bi].shape[3],
+                          bxc_list[bi].shape[3]))
+    rung_meta = tuple(rung_meta)
+
+    def pad_coef(a):
+        # (B, C_r, R_r, M_r) -> (B, C_r, r_max, LANE-padded modes)
+        mp = -(-a.shape[3] // LANE) * LANE
+        return jnp.pad(a, ((0, 0), (0, 0), (0, r_max - a.shape[2]),
+                           (0, mp - a.shape[3])))
+
+    ayc_all = jnp.concatenate([pad_coef(a) for a in ayc_list], axis=1)
+    bxc_all = jnp.concatenate([pad_coef(a) for a in bxc_list], axis=1)
+    params = jnp.concatenate(list(params_list), axis=2)
+    prm = jnp.pad(params.transpose(0, 2, 1),
+                  ((0, 0), (0, 0), (0, LANE - N_PARAMS)))[:, :, None, :]
+    anchor = jnp.concatenate(list(anchor_list), axis=1)
+    ax = ((anchor[..., 0] // LANE) * LANE).reshape(-1)
+    ay = anchor[..., 1].reshape(-1)
+    wd = jnp.concatenate(list(wide_list), axis=1).astype(
+        jnp.int32).reshape(-1)
+
+    myp = ayc_all.shape[3]
+    mxp = bxc_all.shape[3]
+
+    kernel = _make_kernel_resident(
+        rung_meta, th, tw, n_planes, hp, wp, bsz, depth,
+        row_strip=row_strip, any_pair=any_pair, sub=sub,
+        ablate=frozenset(ablate.split("+")) - {""} if ablate
+        else frozenset())
+
+    per_drop_specs = [
+        pl.BlockSpec((1, 1, 1, LANE), lambda b, i, *_: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r_max, myp), lambda b, i, *_: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, r_max, mxp), lambda b, i, *_: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [prm, ayc_all, bxc_all]
+    if any_pair:
+        def _next(b, i, *_):
+            return (b, jnp.minimum(i + 1, c_tot - 1), 0, 0)
+        per_drop_specs += [
+            pl.BlockSpec((1, 1, 1, LANE), _next,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_max, myp), _next,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_max, mxp), _next,
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [prm, ayc_all, bxc_all]
+
+    max_the = max((m[2] - (sub if row_strip else 0))
+                  for m in rung_meta if m[6]) if any_pair else 0
+    nx = wp // LANE
+    scratch_shapes = [
+        pltpu.VMEM((depth, n_planes, nx, hp, LANE), jnp.float32),
+    ] + ([pltpu.VMEM((max_the, LANE), jnp.float32)]
+         if any_pair else []) + [
+        pltpu.SemaphoreType.DMA((depth,)),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bsz, c_tot),
+        in_specs=per_drop_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch_shapes,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_planes, nx, hp, LANE),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=RESIDENT_VMEM_BUDGET
+            + RESIDENT_EVAL_RESERVE,
+            has_side_effects=True),
+        interpret=interpret,
+    )(n_valid.astype(jnp.int32).reshape(-1), ax, ay, wd, *operands)
+    # Untile: (B, P, NX, hp, 128) -> (B, P, hp, wp). One XLA relayout
+    # pass; fuses into / is amortized by the downstream crop+blend
+    # reads. (A per-(plane, tile) DMA relayout inside the kernel
+    # crashes the Mosaic vector-layout pass — probe5.)
+    return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(
+        bsz, n_planes, hp, wp)
 
 
 @functools.partial(

@@ -66,13 +66,14 @@ class PipelineConfig:
     # path anywhere, could not do saturation, and tripled the mode
     # matrix tests had to cover.)
     composite_mode: str = "auto"
-    # Field-plane dtype for the fused path: "bfloat16" halves the
-    # window RMW bytes (the kernel is HBM-bandwidth-bound on window
-    # traffic at production configs), the plane zero-init and the
-    # final composite read. Cost: one bf16 rounding (2^-8 relative)
-    # per overlapping drop on the accumulated planes — validated
-    # against the f32 render (mask IoU / image diff) before becoming
-    # a bench default. The XLA path ignores this (always f32).
+    # Field-plane dtype for the windowed fused path: "bfloat16" halves
+    # the window RMW bytes, the plane zero-init and the final
+    # composite read. Built on the bytes-bound hypothesis the round-5
+    # DMA ablation REFUTED (the window engine is per-tile-run-bound);
+    # measured SLOWER than f32 end to end on v5e (round 4), so f32
+    # stays the default. Cost when used: one bf16 rounding (2^-8
+    # relative) per overlapping drop. The XLA path and the resident
+    # kernel ignore this (always f32).
     fields_dtype: str = "float32"
     # Strip-mode row trimming: evaluate each drop's patch from its TRUE
     # content row (not the sublane-aligned window row), skipping the
@@ -86,17 +87,28 @@ class PipelineConfig:
     # recurrence (the kernel's VPU roofline) runs once per pair. DMAs
     # and hazards stay per-drop. Off switch for A/B and debugging.
     pair_eval: bool = True
-    # Narrow window DMAs: strip-mode drops whose content + erf tails
-    # fit one 128-lane tile (the majority on the hot rungs — span 48
-    # of 128 lanes -> ~62% at uniform anchors) move HALF the window
-    # bytes per read and write. The round-5 cost ablation priced the
-    # 0.80 us per-valid-drop constant at 72% window-DMA bytes
-    # (~550 GB/s streaming — the kernel is bandwidth-bound), so this
-    # attacks the dominant term directly. The DMA hazard schedule is
-    # unchanged (only each copy's shape switches on a per-step scalar
-    # flag); validated bit-exact vs the wide kernel in interpret and
-    # value-gated on hardware like pair/row_strip. Off switch for A/B.
+    # Narrow window DMAs (windowed kernel only): strip-mode drops whose
+    # content + erf tails fit one 128-lane tile move HALF the window
+    # bytes per read and write. Measured NEUTRAL on v5e (round-5 DMA
+    # ablation: the window engine's cost is per (8-row x plane) tile
+    # RUN, ~9.8 ns each, not per byte — halving segment LENGTH at equal
+    # count buys nothing). Kept because the containment flags also
+    # drive the resident kernel's single-tile accumulate and the mode
+    # is validated bit-exact; it is not a perf lever.
     narrow_dma: bool = True
+    # VMEM-resident field accumulation (round 5): when the frame's
+    # whole padded plane stack fits the VMEM budget
+    # (fused_kernel.resident_depth > 0), all rungs run in ONE
+    # pallas_call that keeps the stack in a VMEM scratch bank — drops
+    # accumulate with ordinary (8,128)-aligned loads/stores and the
+    # stack is written to HBM once per frame. Deletes the windowed
+    # kernel's per-drop window DMAs (~72% of its 0.80 us/drop
+    # constant, per-tile-run-bound) and the RAW-hazard schedule.
+    # Bit-exact vs the windowed kernel (same math, same order);
+    # value-gated on hardware like pair/row_strip. Falls back to the
+    # windowed kernel when the stack exceeds VMEM (large frames, e.g.
+    # Cityscapes at full res) or fields_dtype is bfloat16.
+    resident: bool = True
     # Extra block-reduction of the envmap features used ONLY for the
     # per-drop cone photometry (on top of env_downsample): solid-angle
     # weights are summed per block (integrals preserved); the inside
@@ -603,6 +615,36 @@ def fused_field_planes(bg, depth, drops, textures, bin_edges, keys,
     n_planes = 8 if cfg.compute_saturation_mask else 5
     tex_hw = textures.raw.shape[1:]
 
+    # VMEM-resident path: all rungs in ONE pallas_call per chunk, the
+    # frame's plane stack accumulated in a VMEM bank (no window DMAs,
+    # no hazards — see fused_kernel.fused_raster_composite_resident).
+    # Bit-exact vs the windowed loop below; requires f32 planes and
+    # the stack to fit the VMEM budget.
+    from raintpu.ops.pallas.fused_kernel import (
+        fused_raster_composite_resident, resident_depth)
+    depth = (resident_depth(n_planes, hp, wp)
+             if cfg.resident and dtype == jnp.float32 else 0)
+    if depth:
+        chunks = []
+        for c0 in range(0, bsz, MAX_KERNEL_BATCH):
+            c1 = min(c0 + MAX_KERNEL_BATCH, bsz)
+            n_valid = jnp.stack(
+                [jnp.sum(bk["valid"][c0:c1].astype(jnp.int32), axis=1)
+                 for bk in buckets], axis=1)
+            chunks.append(fused_raster_composite_resident(
+                tuple(bk["params"][c0:c1] for bk in buckets),
+                tuple(bk["anchor"][c0:c1] for bk in buckets),
+                tuple(bk["wide"][c0:c1] for bk in buckets),
+                tuple(bk["ayc"][c0:c1] for bk in buckets),
+                tuple(bk["bxc"][c0:c1] for bk in buckets),
+                n_valid, n_planes=n_planes, bspecs=tuple(bspecs),
+                tex_hw=tuple(tex_hw), hp=hp, wp=wp,
+                row_strip=cfg.row_strip, pair_eval=cfg.pair_eval,
+                depth=depth, interpret=interpret))
+        fields = (chunks[0] if len(chunks) == 1
+                  else jnp.concatenate(chunks, axis=0))
+        return fogged, env_save, fields, overflow
+
     # Extreme-batch guard only: single pallas_calls run batch 16/24/48
     # fine (the round-1 "batch >= 14 faults" was a constant-closure
     # bench artifact — see MAX_KERNEL_BATCH's docstring and CLAUDE.md).
@@ -777,8 +819,8 @@ def resolve_kernel_modes(cfg: PipelineConfig,
     if jax.default_backend() != "tpu":
         return cfg
     key = (cfg.pair_eval, cfg.row_strip, cfg.fields_dtype,
-           cfg.narrow_dma)
-    if key == (False, False, "float32", False) and not _floor_check:
+           cfg.narrow_dma, cfg.resident)
+    if key == (False, False, "float32", False, False) and not _floor_check:
         return cfg  # the proven floor — gated only via degradation
     rec = _MODE_GATE.get(key)
     if rec is None:
@@ -792,8 +834,10 @@ def resolve_kernel_modes(cfg: PipelineConfig,
         # it: the official bench must verify the actual hardware).
         import os as _os
         fresh = _os.environ.get("RAINTPU_GATE_FRESH", "0") == "1"
-        key_str = "%s|pair=%s,row_strip=%s,dtype=%s,narrow=%s" % (
-            _gate_fingerprint(), key[0], key[1], key[2], key[3])
+        key_str = ("%s|pair=%s,row_strip=%s,dtype=%s,narrow=%s,"
+                   "resident=%s" % (
+                       _gate_fingerprint(), key[0], key[1], key[2],
+                       key[3], key[4]))
         rec = None if fresh else _gate_cache_load().get(key_str)
         if rec is None:
             from raintpu.tools.tpu_selfcheck import kernel_modes_ok
@@ -808,6 +852,13 @@ def resolve_kernel_modes(cfg: PipelineConfig,
     if rec["ok"]:
         return cfg
     from raintpu.utils.logging import print_warning
+    if cfg.resident:
+        print_warning(
+            "resident kernel diverged from interpret on this backend "
+            "(%s); falling back to the windowed kernel"
+            % (rec["error"] or "value mismatch"))
+        return resolve_kernel_modes(
+            dataclasses.replace(cfg, resident=False), _floor_check=True)
     if cfg.pair_eval or cfg.row_strip or cfg.narrow_dma:
         print_warning(
             "kernel modes pair_eval=%s row_strip=%s dtype=%s "
@@ -833,8 +884,8 @@ def resolve_kernel_modes(cfg: PipelineConfig,
 
 def mode_gate_report() -> dict:
     """Gate outcomes observed this process (for bench JSON disclosure)."""
-    rep = {f"pair={k[0]},row_strip={k[1]},dtype={k[2]},narrow={k[3]}":
-           dict(v) for k, v in _MODE_GATE.items()}
+    rep = {f"pair={k[0]},row_strip={k[1]},dtype={k[2]},narrow={k[3]},"
+           f"resident={k[4]}": dict(v) for k, v in _MODE_GATE.items()}
     from raintpu.ops.pallas.blur_kernel import _BLUR_GATE
     if "ok" in _BLUR_GATE:
         rep["pallas_fog_blur"] = {"ok": _BLUR_GATE["ok"]}

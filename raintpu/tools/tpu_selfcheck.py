@@ -70,7 +70,8 @@ def build_scene(B=2, H=96, W=256, fallrate=100.0, capacity=64):
 
 def kernel_modes_ok(pair_eval: bool, row_strip: bool,
                     fields_dtype: str = "float32",
-                    narrow_dma: bool = False) -> bool:
+                    narrow_dma: bool = False,
+                    resident: bool = False) -> bool:
     """Value-check one kernel-mode combination: compiled vs interpret.
 
     Renders the small self-check scene through the fused kernel with
@@ -93,7 +94,8 @@ def kernel_modes_ok(pair_eval: bool, row_strip: bool,
     cfg = dataclasses.replace(cfg, pair_eval=pair_eval,
                               row_strip=row_strip,
                               fields_dtype=fields_dtype,
-                              narrow_dma=narrow_dma)
+                              narrow_dma=narrow_dma,
+                              resident=resident)
 
     @partial(jax.jit, static_argnames=("interpret",))
     def run(bg, depth, drops, tex, edges, keys, interpret):
