@@ -1168,8 +1168,10 @@ def fused_raster_composite_resident(
         out_shape=jax.ShapeDtypeStruct((bsz, n_planes, nx, hp, LANE),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=RESIDENT_VMEM_BUDGET
-            + RESIDENT_EVAL_RESERVE,
+            # Generous compiler ceiling (the probes ran under 64 MB);
+            # which configs take this path is decided by
+            # resident_depth against RESIDENT_VMEM_BUDGET, not here.
+            vmem_limit_bytes=96 * 1024 * 1024,
             has_side_effects=True),
         interpret=interpret,
     )(n_valid.astype(jnp.int32).reshape(-1), ax, ay, wd, *operands)
